@@ -1,0 +1,233 @@
+"""Target (WRF-style structured) grid construction.
+
+Replaces the reference's ``model_grid.F90:625-1972``: lat/lon at the four
+staggers (CENTER/M, EDGE1/U, EDGE2/V, CORNER), map factors, Lambert rotation
+angles, plus the "read grid from a wrfout/wrfinput/geo_em file" path with its
+great-circle SW-corner approximation (quirk Q10, ``model_grid.F90:1902-1972``).
+
+All arrays are float64, row-major ``(ny, nx_stagger)`` — i.e. numpy index
+``[j, i]`` where the reference uses Fortran ``(i, j)``; the NetCDF C layout of
+WRF files is the same ``(south_north, west_east)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..constants import CORNER, M, PROJ_LC, RAD_PER_DEG, DEG_PER_RAD, U, V
+from .projection import (
+    ProjInfo,
+    ij_to_latlon,
+    map_factor,
+    proj_from_config,
+    rotation_angle,
+    stagger_latlon,
+)
+
+
+@dataclasses.dataclass
+class TargetGrid:
+    nx: int                   # mass (unstaggered) west-east points = i_target
+    ny: int                   # mass south-north points = j_target
+    proj_code: int
+    is_regional: bool = True
+    proj: ProjInfo | None = None
+
+    # (ny, nx)
+    lat: np.ndarray = None
+    lon: np.ndarray = None
+    mapfac_m: np.ndarray = None
+    # (ny, nx+1)
+    lat_u: np.ndarray = None
+    lon_u: np.ndarray = None
+    mapfac_u: np.ndarray = None
+    # (ny+1, nx)
+    lat_v: np.ndarray = None
+    lon_v: np.ndarray = None
+    mapfac_v: np.ndarray = None
+    # (ny+1, nx+1)
+    lat_corner: np.ndarray = None
+    lon_corner: np.ndarray = None
+    # rotation angles (Lambert only; None otherwise)
+    cosa: np.ndarray = None
+    sina: np.ndarray = None
+    cosa_u: np.ndarray = None
+    sina_u: np.ndarray = None
+    cosa_v: np.ndarray = None
+    sina_v: np.ndarray = None
+    # terrain height read from target file ('file' path only)
+    hgt: np.ndarray = None
+
+    @property
+    def shape(self):
+        return (self.ny, self.nx)
+
+    @property
+    def n_points(self) -> int:
+        return self.ny * self.nx
+
+    def corner_quads(self):
+        """Per-mass-cell corner (lat, lon), each (ny, nx, 4), ordered
+        SW, SE, NE, NW (counter-clockwise). Used by conservative regrid."""
+        la, lo = self.lat_corner, self.lon_corner
+        lat4 = np.stack(
+            [la[:-1, :-1], la[:-1, 1:], la[1:, 1:], la[1:, :-1]], axis=-1
+        )
+        lon4 = np.stack(
+            [lo[:-1, :-1], lo[:-1, 1:], lo[1:, 1:], lo[1:, :-1]], axis=-1
+        )
+        return lat4, lon4
+
+
+def target_grid_from_params(cfg) -> TargetGrid:
+    """define_target_grid_params equivalent (model_grid.F90:644-1201)."""
+    proj = proj_from_config(cfg)
+    nx, ny = cfg.i_target, cfg.j_target
+    g = TargetGrid(nx=nx, ny=ny, proj_code=cfg.proj_code,
+                   is_regional=cfg.is_regional, proj=proj)
+
+    g.lat, g.lon = stagger_latlon(proj, nx, ny, M)
+    g.lat_u, g.lon_u = stagger_latlon(proj, nx + 1, ny, U)
+    g.lat_v, g.lon_v = stagger_latlon(proj, nx, ny + 1, V)
+    g.lat_corner, g.lon_corner = stagger_latlon(proj, nx + 1, ny + 1, CORNER)
+
+    g.mapfac_m, _ = map_factor(proj, g.lat)
+    g.mapfac_u, _ = map_factor(proj, g.lat_u)
+    g.mapfac_v, _ = map_factor(proj, g.lat_v)
+
+    if cfg.proj_code == PROJ_LC:
+        # model_grid.F90:1113-1185
+        g.cosa, g.sina = rotation_angle(g.lat, g.lon)
+        g.cosa_u, g.sina_u = rotation_angle(g.lat_u, g.lon_u)
+        g.cosa_v, g.sina_v = rotation_angle(g.lat_v, g.lon_v)
+    return g
+
+
+def great_circle_offset(lat_deg, lon_deg, bearing_deg, dist_m, radius_m=6370000.0):
+    """Destination point given start, bearing and distance on the sphere
+    (the formula in get_cell_corners, model_grid.F90:1922-1964)."""
+    lat1 = np.asarray(lat_deg, dtype=np.float64) * RAD_PER_DEG
+    lon1 = np.asarray(lon_deg, dtype=np.float64) * RAD_PER_DEG
+    brng = bearing_deg * RAD_PER_DEG
+    dr = dist_m / radius_m
+    lat2 = np.arcsin(
+        np.sin(lat1) * np.cos(dr) + np.cos(lat1) * np.sin(dr) * np.cos(brng)
+    )
+    lon2 = lon1 + np.arctan2(
+        np.sin(brng) * np.sin(dr) * np.cos(lat1),
+        np.cos(dr) - np.sin(lat1) * np.sin(lat2),
+    )
+    return lat2 * DEG_PER_RAD, lon2 * DEG_PER_RAD
+
+
+def corners_from_centers(lat, lon, dx_m):
+    """Quirk Q10 — approximate the (ny+1, nx+1) corner lat/lon of a grid of
+    cell centers by great-circle offsets of d = dx/sqrt(2):
+    135-deg bearing (to SW) for interior corners, 45/225/315-deg bearings for
+    the extrapolated N/E edges (get_cell_corners, model_grid.F90:1902-1972)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    ny, nx = lat.shape
+    d = np.sqrt(dx_m ** 2 / 2.0)
+    clat = np.empty((ny + 1, nx + 1), dtype=np.float64)
+    clon = np.empty((ny + 1, nx + 1), dtype=np.float64)
+    # interior + south/west edges: SW corner of each center (bearing 135 is
+    # measured in the reference's convention; reproduce it verbatim)
+    clat[:ny, :nx], clon[:ny, :nx] = great_circle_offset(lat, lon, 135.0, d)
+    # east edge (i = nx): bearing 225 from the last column of centers
+    clat[:ny, nx], clon[:ny, nx] = great_circle_offset(
+        lat[:, nx - 1], lon[:, nx - 1], 225.0, d
+    )
+    # north edge (j = ny): bearing 45 from the last row of centers
+    clat[ny, :nx], clon[ny, :nx] = great_circle_offset(
+        lat[ny - 1, :], lon[ny - 1, :], 45.0, d
+    )
+    # NE corner: bearing 315 from the last center
+    clat[ny, nx], clon[ny, nx] = great_circle_offset(
+        lat[ny - 1, nx - 1], lon[ny - 1, nx - 1], 315.0, d
+    )
+    return clat, clon
+
+
+def target_grid_from_file(path: str, cfg=None) -> TargetGrid:
+    """define_target_grid_file equivalent (model_grid.F90:1203-1888):
+    reads dims, global attrs, XLAT(.|_M)/XLONG(.|_M), XLAT_U/V, XLONG_U/V,
+    MAPFAC_M/U/V, SINALPHA/COSALPHA (LC only), HGT(.|_M) from a
+    wrfout/wrfinput/geo_em file; corners via quirk Q10.
+
+    Also back-fills cfg's projection attributes from the file's global
+    attributes (the reference mutates program_setup module vars in place).
+    """
+    from ..io.nc4 import NetCDF4File
+
+    with NetCDF4File(path, "r") as f:
+        nx = f.dim_size("west_east")
+        ny = f.dim_size("south_north")
+        dx = float(f.get_attr("DX"))
+        attrs = {
+            k: f.get_attr(k, None)
+            for k in (
+                "CEN_LAT", "CEN_LON", "TRUELAT1", "TRUELAT2", "MOAD_CEN_LAT",
+                "STAND_LON", "POLE_LAT", "POLE_LON", "MAP_PROJ", "MAP_PROJ_CHAR",
+            )
+        }
+        proj_code = int(attrs["MAP_PROJ"])
+
+        def rd(*names):
+            for n in names:
+                if f.has_var(n):
+                    a = np.asarray(f.read_var(n), dtype=np.float64)
+                    if a.ndim == 3:   # (Time, sn, we)
+                        a = a[0]
+                    return a
+            raise KeyError(f"none of {names} in {path}")
+
+        g = TargetGrid(nx=nx, ny=ny, proj_code=proj_code)
+        g.lat = rd("XLAT", "XLAT_M")
+        g.lon = rd("XLONG", "XLONG_M")
+        g.lat_u = rd("XLAT_U")
+        g.lon_u = rd("XLONG_U")
+        g.lat_v = rd("XLAT_V")
+        g.lon_v = rd("XLONG_V")
+        g.mapfac_m = rd("MAPFAC_M")
+        g.mapfac_u = rd("MAPFAC_U")
+        g.mapfac_v = rd("MAPFAC_V")
+        if proj_code == PROJ_LC:
+            g.sina = rd("SINALPHA")
+            g.cosa = rd("COSALPHA")
+        g.hgt = rd("HGT", "HGT_M")
+        g.lat_corner, g.lon_corner = corners_from_centers(g.lat, g.lon, dx)
+
+    if cfg is not None:
+        cfg.i_target, cfg.j_target = nx, ny
+        cfg.dx = cfg.dxkm = dx
+        cfg.dy = cfg.dykm = dx
+        cfg.proj_code = proj_code
+        if attrs.get("MOAD_CEN_LAT") is not None:
+            cfg.ref_lat = float(attrs["MOAD_CEN_LAT"])
+        elif attrs.get("CEN_LAT") is not None:
+            cfg.ref_lat = float(attrs["CEN_LAT"])
+        if attrs.get("CEN_LON") is not None:
+            cfg.ref_lon = float(attrs["CEN_LON"])
+        for src, dst in (
+            ("TRUELAT1", "truelat1"), ("TRUELAT2", "truelat2"),
+            ("STAND_LON", "stand_lon"), ("POLE_LAT", "pole_lat"),
+            ("POLE_LON", "pole_lon"),
+        ):
+            if attrs.get(src) is not None:
+                setattr(cfg, dst, float(attrs[src]))
+        mpc = attrs.get("MAP_PROJ_CHAR")
+        if mpc is None:
+            # model_grid.F90:1290-1296
+            mpc = "Lambert Conformal" if proj_code == 1 else "Lat/Lon"
+        cfg.map_proj_char = mpc if isinstance(mpc, str) else mpc.decode()
+    return g
+
+
+def build_target_grid(cfg) -> TargetGrid:
+    """define_target_grid dispatch (model_grid.F90:630-642)."""
+    if cfg.target_grid_type.strip() == "file":
+        return target_grid_from_file(cfg.file_target_grid, cfg)
+    return target_grid_from_params(cfg)

@@ -1,0 +1,239 @@
+"""Minimal NetCDF reader/writer (no netCDF4/xarray in this environment).
+
+Replaces the functionality the reference consumes from netcdf-fortran/NetCDF-C
+(SURVEY §2.3): ``nf90_open/inq/get_var/get_att`` for input and
+``nf90_create(NF90_NETCDF4)/def_dim/def_var/put_att/put_var`` for output
+(write_data.F90:173-997).
+
+- NetCDF4 files are HDF5; we read/write them through h5py using the standard
+  netCDF4-on-HDF5 conventions (dimension scales, ``_Netcdf4Dimid``,
+  ``DIMENSION_LIST``) so files interoperate with the netCDF-C library.
+- Classic-format files (CDF-1/2, common for MPAS history streams) are read
+  through scipy.io.netcdf_file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+_CDF_MAGICS = (b"CDF\x01", b"CDF\x02", b"CDF\x05")
+
+
+def _decode(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, np.ndarray):
+        if v.ndim == 0:
+            return _decode(v[()])
+        if v.size == 1:
+            return _decode(v.reshape(-1)[0])
+        return v
+    if isinstance(v, np.generic):
+        return v.item() if not isinstance(v, np.bytes_) else v.item().decode()
+    return v
+
+
+class _ClassicReader:
+    """Read-only adapter over scipy.io.netcdf_file for CDF-1/2 files."""
+
+    def __init__(self, path: str):
+        from scipy.io import netcdf_file
+
+        self._f = netcdf_file(path, "r", mmap=False)
+
+    def close(self):
+        self._f.close()
+
+    def dim_size(self, name: str) -> int:
+        n = self._f.dimensions[name]
+        if n is None:  # unlimited: infer from a variable using it
+            for v in self._f.variables.values():
+                if name in v.dimensions:
+                    return v.shape[list(v.dimensions).index(name)]
+            return 0
+        return n
+
+    def has_dim(self, name):
+        return name in self._f.dimensions
+
+    def has_var(self, name: str) -> bool:
+        return name in self._f.variables
+
+    def var_names(self):
+        return list(self._f.variables)
+
+    def var_dims(self, name: str):
+        return list(self._f.variables[name].dimensions)
+
+    def read_var(self, name: str):
+        return np.asarray(self._f.variables[name][...])
+
+    def var_attrs(self, name: str):
+        v = self._f.variables[name]
+        return {k: _decode(val) for k, val in v._attributes.items()}
+
+    def get_attr(self, name: str, default=KeyError):
+        try:
+            return _decode(self._f._attributes[name])
+        except KeyError:
+            if default is KeyError:
+                raise
+            return default
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+_NC_DIM_NAME = "This is a netCDF dimension but not a netCDF variable. %10d"
+
+
+class NetCDF4File:
+    """NetCDF4 (HDF5-backed) file with a small reader/writer API."""
+
+    def __init__(self, path: str, mode: str = "r"):
+        import h5py
+
+        self.path = path
+        self.mode = mode
+        self._f = h5py.File(path, mode)
+        self._dimids: dict[str, int] = {}
+        if mode == "r":
+            for name, ds in self._f.items():
+                if self._is_dim(ds):
+                    self._dimids[name] = len(self._dimids)
+
+    # -- common ------------------------------------------------------------
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    @staticmethod
+    def _is_dim(ds) -> bool:
+        import h5py
+
+        return isinstance(ds, h5py.Dataset) and ds.attrs.get("CLASS") == b"DIMENSION_SCALE"
+
+    # -- reading -----------------------------------------------------------
+
+    def has_dim(self, name: str) -> bool:
+        return name in self._f and self._is_dim(self._f[name])
+
+    def dim_size(self, name: str) -> int:
+        return self._f[name].shape[0]
+
+    def has_var(self, name: str) -> bool:
+        if name not in self._f:
+            return False
+        ds = self._f[name]
+        if not self._is_dim(ds):
+            return True
+        # a coordinate variable is both a dim and a variable
+        return ds.attrs.get("NAME", b"").startswith(b"%s" % name.encode())
+
+    def var_names(self):
+        import h5py
+
+        out = []
+        for name, ds in self._f.items():
+            if isinstance(ds, h5py.Dataset) and self.has_var(name):
+                out.append(name)
+        return out
+
+    def var_dims(self, name: str):
+        ds = self._f[name]
+        out = []
+        for i in range(ds.ndim):
+            proxy = ds.dims[i]
+            out.append(proxy[0].name.lstrip("/") if len(proxy) else None)
+        return out
+
+    def read_var(self, name: str):
+        return np.asarray(self._f[name][...])
+
+    def var_attrs(self, name: str):
+        return {
+            k: _decode(v)
+            for k, v in self._f[name].attrs.items()
+            if not k.startswith("_Netcdf4") and k not in ("CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST")
+        }
+
+    def get_attr(self, name: str, default=KeyError):
+        try:
+            return _decode(self._f.attrs[name])
+        except KeyError:
+            if default is KeyError:
+                raise
+            return default
+
+    # -- writing -----------------------------------------------------------
+
+    def set_attr(self, name: str, value, var: str | None = None):
+        target = self._f if var is None else self._f[var]
+        if isinstance(value, str):
+            target.attrs[name] = value
+        elif isinstance(value, (int, np.integer)):
+            target.attrs[name] = np.int32(value)
+        elif isinstance(value, float):
+            target.attrs[name] = np.float64(value)
+        else:
+            target.attrs[name] = value
+
+    def create_dim(self, name: str, size: int | None):
+        """def_dim: size=None -> unlimited (current size grows on write)."""
+        if size is None:
+            ds = self._f.create_dataset(name, shape=(0,), maxshape=(None,), dtype="f4")
+        else:
+            ds = self._f.create_dataset(name, shape=(size,), dtype="f4")
+        ds.make_scale(_NC_DIM_NAME % (0 if size is None else size))
+        ds.attrs["_Netcdf4Dimid"] = np.int32(len(self._dimids))
+        self._dimids[name] = len(self._dimids)
+        return ds
+
+    def ensure_unlimited_size(self, name: str, size: int):
+        ds = self._f[name]
+        if ds.shape[0] < size:
+            ds.resize((size,))
+
+    def create_var(self, name: str, dims, dtype, data=None, fill=None,
+                   compress: bool = False):
+        """def_var + optional immediate put_var. dims are dimension names."""
+        shape = tuple(self._f[d].shape[0] for d in dims)
+        kwargs = {}
+        if compress:
+            kwargs.update(compression="gzip", compression_opts=1, shuffle=True)
+        ds = self._f.create_dataset(name, shape=shape, dtype=dtype, **kwargs)
+        for i, d in enumerate(dims):
+            ds.dims[i].attach_scale(self._f[d])
+        ds.attrs["_Netcdf4Coordinates"] = np.array(
+            [self._dimids[d] for d in dims], dtype=np.int32
+        )
+        if data is not None:
+            ds[...] = data
+        elif fill is not None:
+            ds[...] = fill
+        return ds
+
+    def write_var(self, name: str, data):
+        self._f[name][...] = data
+
+
+def open_dataset(path: str):
+    """nf90_open equivalent: dispatch on file magic (HDF5 vs classic CDF)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic.startswith(_HDF5_MAGIC):
+        return NetCDF4File(path, "r")
+    if magic[:4] in _CDF_MAGICS:
+        return _ClassicReader(path)
+    # HDF5 superblock may be at an offset in some files; try h5py anyway
+    return NetCDF4File(path, "r")

@@ -1,0 +1,33 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh with x64.
+
+Mirrors the distributed test strategy in SURVEY §4: sharded results must match
+unsharded ones without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from mpassit_tpu.mesh.synthetic import synthetic_voronoi_mesh  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_mesh():
+    return synthetic_voronoi_mesh(ncells=600, nz=4, nsoil=2, seed=3)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
