@@ -1,12 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh with x64.
 
-Mirrors the distributed test strategy in SURVEY §4: sharded results must match
-unsharded ones without TPU hardware.
+Mirrors the distributed test strategy in SURVEY §4: sharded results must
+match unsharded ones without TPU hardware.
+
+NOTE: this environment's TPU plugin registers itself at interpreter startup
+and forces ``jax_platforms="axon,cpu"`` — plain ``JAX_PLATFORMS=cpu`` env
+vars are overridden. Steering back to CPU must happen through
+``jax.config.update`` before the first backend use, which is what we do here
+(conftest runs before any test imports trigger device initialization).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must precede CPU backend initialization
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
