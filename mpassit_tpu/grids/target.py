@@ -84,6 +84,10 @@ class TargetGrid:
 def target_grid_from_params(cfg) -> TargetGrid:
     """define_target_grid_params equivalent (model_grid.F90:644-1201)."""
     proj = proj_from_config(cfg)
+    # model_grid.F90:1107: ref_lat/ref_lon are OVERWRITTEN with the domain
+    # center's lat/lon (they feed the CEN_LAT/CEN_LON output attributes).
+    clat, clon = ij_to_latlon(proj, cfg.i_target / 2.0, cfg.j_target / 2.0)
+    cfg.ref_lat, cfg.ref_lon = float(clat), float(clon)
     nx, ny = cfg.i_target, cfg.j_target
     g = TargetGrid(nx=nx, ny=ny, proj_code=cfg.proj_code,
                    is_regional=cfg.is_regional, proj=proj)

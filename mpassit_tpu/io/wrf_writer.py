@@ -1,0 +1,320 @@
+"""WRF/UPP-compatible NetCDF output.
+
+Clones the reference's output schema dim-for-dim and attr-for-attr
+(``write_data.F90:173-997``) including its quirks:
+
+- DY global attribute written with the DX value (write_data.F90:215-216);
+- the misspelled ``POL_ELAT`` attribute alongside POLE_LAT/POLE_LON
+  (write_data.F90:254);
+- Z_C defined on bottom_top_stag but written with only bottom_top levels —
+  the top interface stays at the netCDF fill value (write_data.F90:479,1415);
+- WRF transforms (quirk Q7, write_data.F90:1339-1475): T = theta - 300
+  (the reference's `< 10.0` guard is a Fortran CONTINUE no-op, so the
+  subtraction is unconditional), MU == 0, P_TOP = min over the domain of
+  0.8*P_HYD top level (seeded with the field max), PB = P_HYD, Z_C = vertical
+  midpoints of zgrid, PHB = zgrid*9.81, PH == 0, P == 0;
+- Times truncated to 19 chars; XTIME = (start - valid) minutes — note the
+  operand order (quirk Q11, write_data.F90:1225-1228).
+
+Field data is float32 in the file (NF90_FLOAT throughout the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+
+import numpy as np
+
+from ..constants import PROJ_LC
+from .nc4 import NetCDF4File
+
+DATESTRLEN = 19
+NC_FILL_FLOAT = np.float32(9.96921e36)
+
+
+@dataclasses.dataclass
+class RegridResult:
+    """Target-grid fields grouped like the reference's bundles.
+    Each list entry: (out_name, data, units, description) with data (ny, nx)
+    for 2-D and (ny, nx, nlev) for 3-D."""
+
+    diag2d: list = dataclasses.field(default_factory=list)
+    diag3d: list = dataclasses.field(default_factory=list)
+    cons2d: list = dataclasses.field(default_factory=list)
+    patch2d: list = dataclasses.field(default_factory=list)
+    nstd2d: list = dataclasses.field(default_factory=list)
+    soil: list = dataclasses.field(default_factory=list)
+    nz3d: list = dataclasses.field(default_factory=list)
+    nzp13d: list = dataclasses.field(default_factory=list)
+    vert3d: list = dataclasses.field(default_factory=list)
+    u: np.ndarray = None      # (ny, nx+1, nz)
+    v: np.ndarray = None      # (ny+1, nx, nz)
+    hgt: np.ndarray = None    # (ny, nx)
+    zs: np.ndarray = None     # (nsoil,)
+    nz: int = 0
+    nzp1: int = 0
+    nsoil: int = 0
+
+
+def _parse_wrf_time(s: str) -> datetime:
+    """substr-based parse of 'YYYY-MM-DD_hh:mm:ss' (write_data.F90:1212-1224)."""
+    return datetime(int(s[0:4]), int(s[5:7]), int(s[8:10]),
+                    int(s[11:13]), int(s[14:16]), int(s[17:19]))
+
+
+def _t3(a):
+    """(ny, nx[, nlev]) -> C file order (1, [nlev,] ny, nx)."""
+    a = np.asarray(a)
+    if a.ndim == 2:
+        return a[None].astype(np.float32)
+    return np.moveaxis(a, 2, 0)[None].astype(np.float32)
+
+
+class _W:
+    """def_var + attrs helper matching the reference's per-variable attrs."""
+
+    def __init__(self, f: NetCDF4File):
+        self.f = f
+
+    def var(self, name, dims, data, units, desc, coords, stagger,
+            memorder, fieldtype=104, dtype="f4"):
+        self.f.create_var(name, dims, dtype, data=data)
+        self.f.set_attr("description", desc, var=name)
+        self.f.set_attr("units", units, var=name)
+        self.f.set_attr("MemoryOrder", memorder, var=name)
+        if coords is not None:
+            self.f.set_attr("coordinates", coords, var=name)
+        self.f.set_attr("stagger", stagger, var=name)
+        self.f.set_attr("FieldType", fieldtype, var=name)
+
+
+D2 = ("Time", "south_north", "west_east")
+D2U = ("Time", "south_north", "west_east_stag")
+D2V = ("Time", "south_north_stag", "west_east")
+D3 = ("Time", "bottom_top", "south_north", "west_east")
+D3P = ("Time", "bottom_top_stag", "south_north", "west_east")
+D3S = ("Time", "soil_layers_stag", "south_north", "west_east")
+D3U = ("Time", "bottom_top", "south_north", "west_east_stag")
+D3V = ("Time", "bottom_top", "south_north_stag", "west_east")
+
+
+def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
+    """write_to_file equivalent (write_data.F90:20-1498).
+
+    cfg: Config; grid: TargetGrid; data: mpas_reader.InputData.
+    """
+    nx, ny = grid.nx, grid.ny
+    nz, nzp1, nsoil = res.nz, res.nzp1, res.nsoil
+    wrf_mod = cfg.wrf_mod_vars
+
+    with NetCDF4File(path, "w") as f:
+        # --- dims (write_data.F90:177-194) -------------------------------
+        f.create_dim("Time", None)
+        f.ensure_unlimited_size("Time", 1)
+        f.create_dim("west_east", nx)
+        f.create_dim("west_east_stag", nx + 1)
+        f.create_dim("south_north", ny)
+        f.create_dim("south_north_stag", ny + 1)
+        f.create_dim("bottom_top", nz)
+        f.create_dim("bottom_top_stag", nzp1)
+        f.create_dim("soil_layers_stag", nsoil)
+        f.create_dim("StrLen", DATESTRLEN)
+
+        # --- global attrs (write_data.F90:197-308) -----------------------
+        A = f.set_attr
+        A("WEST-EAST_GRID_DIMENSION", nx + 1)
+        A("SOUTH-NORTH_GRID_DIMENSION", ny + 1)
+        A("BOTTOM-TOP_GRID_DIMENSION", nz + 1)
+        A("SIMULATION_START_DATE", data.start_time)
+        A("START_DATE", data.start_time)
+        A("DX", float(cfg.dx))
+        A("DY", float(cfg.dx))          # reference writes DX for DY
+        A("DT", float(data.config_dt))
+        A("SF_SURFACE_PHYSICS", data.lsm_scheme)
+        A("MP_PHYSICS", data.mp_scheme)
+        A("CU_PHYSICS", data.conv_scheme)
+        A("CEN_LAT", float(cfg.ref_lat))
+        A("CEN_LON", float(cfg.ref_lon))
+        A("TRUELAT1", float(cfg.truelat1))
+        A("TRUELAT2", float(cfg.truelat2))
+        A("MOAD_CEN_LAT", float(cfg.ref_lat))
+        A("STAND_LON", float(cfg.stand_lon))
+        A("POLE_LAT", float(cfg.pole_lat))
+        A("POLE_LON", float(cfg.pole_lon))
+        A("POL_ELAT", float(cfg.pole_lat))   # reference typo preserved
+        A("MAP_PROJ", int(cfg.proj_code))
+        A("MAP_PROJ_CHAR", cfg.map_proj_char)
+        if cfg.interp_diag:
+            A("PREC_ACC_DT", int(data.diag_out_interval))
+        A("I_PARENT_START", 1)
+        A("J_PARENT_START", 1)
+        A("WEST-EAST_PATCH_START_UNSTAG", 1)
+        A("WEST-EAST_PATCH_START_STAG", 1)
+        A("SOUTH-NORTH_PATCH_START_UNSTAG", 1)
+        A("SOUTH-NORTH_PATCH_START_STAG", 1)
+        A("BOTTOM-TOP_PATCH_START_UNSTAG", 1)
+        A("BOTTOM-TOP_PATCH_START_STAG", 1)
+        A("WEST-EAST_PATCH_END_UNSTAG", nx)
+        A("WEST-EAST_PATCH_END_STAG", nx + 1)
+        A("SOUTH-NORTH_PATCH_END_UNSTAG", ny)
+        A("SOUTH-NORTH_PATCH_END_STAG", ny + 1)
+        A("BOTTOM-TOP_PATCH_END_UNSTAG", nz)
+        A("BOTTOM-TOP_PATCH_END_STAG", nz + 1)
+
+        # --- coordinate / static vars (write_data.F90:312-561) -----------
+        w = _W(f)
+        w.var("XLONG", D2, _t3(grid.lon), "degree_east",
+              "LONGITUDE, WEST IS NEGATIVE", "XLONG XLAT", "", "XY ")
+        w.var("XLONG_U", D2U, _t3(grid.lon_u), "degree_east",
+              "LONGITUDE, WEST IS NEGATIVE", "XLONG_U XLAT_U", "X", "XY ")
+        w.var("XLONG_V", D2V, _t3(grid.lon_v), "degree_east",
+              "LONGITUDE, WEST IS NEGATIVE", "XLONG_V XLAT_V", "Y", "XY ")
+        w.var("XLAT", D2, _t3(grid.lat), "degree_north",
+              "LATITUDE, SOUTH IS NEGATIVE", "XLONG XLAT", "", "XY ")
+        w.var("XLAT_U", D2U, _t3(grid.lat_u), "degree_north",
+              "LATITUDE, SOUTH IS NEGATIVE", "XLONG_U XLAT_U", "X", "XY ")
+        w.var("XLAT_V", D2V, _t3(grid.lat_v), "degree_north",
+              "LATITUDE, SOUTH IS NEGATIVE", "XLONG_V XLAT_V", "Y", "XY ")
+        # MAPFAC description/units quirks preserved (write_data.F90:402-445)
+        w.var("MAPFAC_M", D2, _t3(grid.mapfac_m), "degree_north",
+              "LATITUDE, SOUTH IS NEGATIVE", "XLONG XLAT", " ", "XY ")
+        w.var("MAPFAC_U", D2U, _t3(grid.mapfac_u), "degree_north",
+              "LATITUDE, SOUTH IS NEGATIVE", "XLONG_U XLAT_U", "X", "XY ")
+        w.var("MAPFAC_V", D2V, _t3(grid.mapfac_v), "degree_north",
+              "LATITUDE, SOUTH IS NEGATIVE", "XLONG_V XLAT_V", "Y", "XY ")
+        if cfg.proj_code == PROJ_LC:
+            w.var("SINALPHA", D2, _t3(grid.sina), " ",
+                  "SINE OF GRID ROTATION ANGLE ALPHA", "XLONG XLAT", " ", "XY ")
+            w.var("COSALPHA", D2, _t3(grid.cosa), " ",
+                  "COSINE OF GRID ROTATION ANGLE ALPHA", "XLONG XLAT", " ", "XY ")
+
+        # Z_C on the staggered vertical dim; written below only for the nz
+        # midpoint levels (top interface stays at fill — see module docstring)
+        zc_fill = np.full((1, nzp1, ny, nx), NC_FILL_FLOAT, dtype=np.float32)
+        w.var("Z_C", D3P, zc_fill, "m AMSL",
+              "Layer center height above mean sea level", "XLAT XLONG Z_C",
+              "", "XYZ ")
+        zsdat = np.zeros((1, nsoil), np.float32)
+        if res.zs is not None:
+            zsdat[0, :] = np.asarray(res.zs, dtype=np.float32)[:nsoil]
+        w.var("ZS", ("Time", "soil_layers_stag"), zsdat, "m",
+              "DEPTHS OF CENTERS OF SOIL LAYERS", "ZS XTIME", "", "X")
+        hgt = res.hgt if res.hgt is not None else np.zeros((ny, nx))
+        w.var("HGT", D2, _t3(hgt), "m AMSL", "TERRAIN HEIGHT ",
+              "XLAT XLONG ", "", "XY ")
+
+        times = np.zeros((1, DATESTRLEN), dtype="S1")
+        vt = (data.valid_time + " " * DATESTRLEN)[:DATESTRLEN]
+        times[0] = np.frombuffer(vt.encode("ascii", "replace"), dtype="S1")
+        f.create_var("Times", ("Time", "StrLen"), "S1", data=times)
+        f.set_attr("description", "Times", var="Times")
+        f.set_attr("units", "m", var="Times")
+        f.set_attr("coordinates", "Time", var="Times")
+        f.set_attr("stagger", "", var="Times")
+        f.set_attr("FieldType", 104, var="Times")
+
+        # XTIME = start - valid in minutes (quirk Q11 operand order)
+        xtime_min = 0.0
+        itimestep = 0
+        if data.start_time and data.valid_time:
+            delta = _parse_wrf_time(data.start_time) - _parse_wrf_time(data.valid_time)
+            xtime_min = delta.total_seconds() / 60.0
+            if data.config_dt > 0.0:
+                itimestep = int(delta.total_seconds() / data.config_dt)
+        f.create_var("ITIMESTEP", ("Time",), "i4",
+                     data=np.array([itimestep], np.int32))
+        f.set_attr("description", "", var="ITIMESTEP")
+        f.set_attr("units", "", var="ITIMESTEP")
+        f.set_attr("stagger", "", var="ITIMESTEP")
+        f.set_attr("FieldType", 106, var="ITIMESTEP")
+        f.set_attr("MemoryOrder", "O ", var="ITIMESTEP")
+        f.create_var("XTIME", ("Time",), "f4",
+                     data=np.array([xtime_min], np.float32))
+        f.set_attr("description", "minutes since " + data.start_time, var="XTIME")
+        f.set_attr("units", "minutes since " + data.start_time, var="XTIME")
+        f.set_attr("stagger", "", var="XTIME")
+        f.set_attr("FieldType", 104, var="XTIME")
+        f.set_attr("MemoryOrder", "O ", var="XTIME")
+
+        # --- 2-D fields: diag, cons, patch, nstd (write order of
+        #     write_data.F90:567-731, 1247-1264) --------------------------
+        for name, arr, units, desc in (res.diag2d + res.cons2d +
+                                       res.patch2d + res.nstd2d):
+            w.var(name, D2, _t3(arr), units, desc, "XLONG XLAT XTIME", "", "XY ")
+
+        # --- 3-D diag fields ---------------------------------------------
+        for name, arr, units, desc in res.diag3d:
+            w.var(name, D3, _t3(arr), units, desc, "XLONG XLAT XTIME", "", "XYZ ")
+
+        # --- soil fields -------------------------------------------------
+        for name, arr, units, desc in res.soil:
+            w.var(name, D3S, _t3(arr), units, desc, "XLONG XLAT XTIME", "", "XYZ ")
+
+        # --- 3-D nz hist fields + WRF extras ------------------------------
+        for name, arr, units, desc in res.nz3d:
+            out = np.asarray(arr, dtype=np.float64)
+            if wrf_mod and name == "T":
+                # theta - 300 (the reference's `<10` guard is a no-op CONTINUE)
+                out = out - 300.0
+            w.var(name, D3, _t3(out), units, desc, "XLONG XLAT XTIME", "", "XYZ ")
+            if wrf_mod and name == "MUB":
+                w.var("MU", D3, np.zeros((1, nz, ny, nx), np.float32), units,
+                      "Perturbation " + desc, "XLONG XLAT XTIME", "", "XYZ ")
+            if wrf_mod and name == "P_HYD":
+                top = np.asarray(arr, dtype=np.float64)[:, :, nz - 1]
+                ptop = float(np.asarray(arr).max())
+                sel = top >= 10.0
+                if sel.any():
+                    ptop = min(ptop, float((top[sel] * 0.8).min()))
+                f.create_var("P_TOP", ("Time",), "f4",
+                             data=np.array([ptop], np.float32))
+                f.set_attr("MemoryOrder", "0 ", var="P_TOP")
+                f.set_attr("units", units, var="P_TOP")
+                f.set_attr("description", "PRESSURE TOP OF THE MODEL", var="P_TOP")
+                f.set_attr("stagger", "", var="P_TOP")
+                f.set_attr("FieldType", 104, var="P_TOP")
+                w.var("PB", D3, _t3(out), "Pa", "BASE STATE PRESSURE (pfull)",
+                      "XLONG XLAT XTIME", "", "XYZ ")
+
+        # --- staggered winds (write_data.F90:832-866, 1160-1197) ---------
+        if res.u is not None:
+            w.var("U", D3U, _t3(res.u), "m s^{-1}", "",
+                  "XLONG_U XLAT_U XTIME", "X", "XYZ ")
+        if res.v is not None:
+            w.var("V", D3V, _t3(res.v), "m s^{-1}", "",
+                  "XLONG_V XLAT_V XTIME", "Y", "XYZ ")
+
+        # --- 3-D nzp1 hist fields + Z_C/PHB/PH transforms ----------------
+        for name, arr, units, desc in res.nzp13d:
+            out = np.asarray(arr, dtype=np.float64)
+            if name == "PHB":
+                # Z_C = vertical midpoints (write_data.F90:1406-1416)
+                mid = 0.5 * (out[:, :, 1:] + out[:, :, :-1])
+                zc = np.asarray(f._f["Z_C"][...])
+                zc[0, :nz] = np.moveaxis(mid, 2, 0).astype(np.float32)
+                f.write_var("Z_C", zc)
+                out = out * 9.81
+            if wrf_mod and name == "PHB":
+                w.var(name, D3P, _t3(out), "gpm", "Base Geopotential Height",
+                      "XLONG XLAT XTIME", "Z", "XYZ ")
+                w.var("PH", D3P, np.zeros((1, nzp1, ny, nx), np.float32),
+                      "gpm", "Perturbation Geopotential Height",
+                      "XLONG XLAT XTIME", "Z", "XYZ ")
+            else:
+                w.var(name, D3P, _t3(out), units, desc,
+                      "XLONG XLAT XTIME", "Z", "XYZ ")
+
+        # --- 3-D vertex hist fields --------------------------------------
+        for name, arr, units, desc in res.vert3d:
+            w.var(name, D3, _t3(arr), units, desc, "XLONG XLAT XTIME", "", "XYZ")
+
+        # --- dummy P (and PB if no P_HYD produced it) ---------------------
+        if wrf_mod:
+            w.var("P", D3, np.zeros((1, nz, ny, nx), np.float32), "Pa",
+                  "perturbation pressure (0.0)", "XLONG XLAT XTIME", "", "XYZ ")
+            if not f.has_var("PB"):
+                w.var("PB", D3,
+                      np.full((1, nz, ny, nx), NC_FILL_FLOAT, np.float32),
+                      "Pa", "BASE STATE PRESSURE (pfull)",
+                      "XLONG XLAT XTIME", "", "XYZ ")

@@ -100,3 +100,55 @@ def write_mpas_grid_file(mesh: MPASMesh, path: str) -> None:
         f.create_var("zs", ("nCells", "nSoilLevels"), "f8",
                      np.broadcast_to(zs, (mesh.ncells, len(zs))))
         f.create_var("ter", ("nCells",), "f8", mesh.ter)
+
+
+_XTIME_STRLEN = 64
+
+
+def write_mpas_data_file(mesh: MPASMesh, path: str, fields: dict,
+                         attrs: dict | None = None,
+                         xtime: str = "2024-03-25_09:00:00",
+                         field_attrs: dict | None = None) -> None:
+    """Write an MPAS diag/history-style data file.
+
+    fields: name -> array of shape (ncells,), (ncells, nz), (ncells, nzp1),
+    (ncells, nsoil) or (nvertices, nz); dimension names inferred from shape.
+    attrs: global attributes (config_start_time, config_dt, ...).
+    """
+    from ..io.nc4 import NetCDF4File
+
+    field_attrs = field_attrs or {}
+    with NetCDF4File(path, "w") as f:
+        f.create_dim("nCells", mesh.ncells)
+        f.create_dim("nVertices", mesh.nvertices)
+        f.create_dim("nVertLevels", mesh.nz)
+        f.create_dim("nVertLevelsP1", mesh.nzp1)
+        f.create_dim("nSoilLevels", max(mesh.nsoil, 1))
+        f.create_dim("StrLen", _XTIME_STRLEN)
+        f.create_dim("Time", None)
+        f.ensure_unlimited_size("Time", 1)
+
+        lev_dim = {mesh.nz: "nVertLevels", mesh.nzp1: "nVertLevelsP1"}
+        if mesh.nsoil and mesh.nsoil not in lev_dim:
+            lev_dim[mesh.nsoil] = "nSoilLevels"
+
+        for name, arr in fields.items():
+            arr = np.asarray(arr, dtype=np.float64)
+            loc = "nCells" if arr.shape[0] == mesh.ncells else "nVertices"
+            if arr.ndim == 1:
+                dims = ("Time", loc)
+            else:
+                dims = ("Time", loc, lev_dim[arr.shape[1]])
+            f.create_var(name, dims, "f8", arr[None])
+            fa = field_attrs.get(name, {})
+            f.set_attr("units", fa.get("units", "si"), var=name)
+            f.set_attr("long_name", fa.get("long_name", name + " field"),
+                       var=name)
+
+        xt = np.zeros((1, _XTIME_STRLEN), dtype="S1")
+        padded = (xtime + " " * _XTIME_STRLEN)[:_XTIME_STRLEN]
+        xt[0] = np.frombuffer(padded.encode(), dtype="S1")
+        f.create_var("xtime", ("Time", "StrLen"), "S1", xt)
+
+        for k, v in (attrs or {}).items():
+            f.set_attr(k, v)
