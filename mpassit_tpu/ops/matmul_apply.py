@@ -1,0 +1,184 @@
+"""MXU-native ELL apply: per-tile one-hot matmul over packed source slabs.
+
+The ELL apply is a random K-row gather per target — XLA's HBM gather runs at
+~10% of peak on v5e, and Mosaic's in-VMEM dynamic_gather is VPU-bound and
+slower still. But the operator is spatially coherent: a 32x32 tile of
+target points references only ~70-150 unique source rows. That turns the
+gather into dense linear algebra:
+
+    A[t]    (TILE x W)   one-hot-weighted: A[t, p, r] = sum_k w[p, k]
+                         over k with loc[p, k] == r  (built ONCE, on device)
+    slab[t] (W x C)      = src[slab_idx[t]]         (one coherent gather)
+    out[t]  (TILE x C)   = A[t] @ slab[t]           (batched MXU matmul)
+
+Per pass this reads A + slab (~1.5x src) sequentially and writes out —
+within ~1.5x of the output-write speed-of-light — instead of K*T random
+rows at gather speed.
+
+Host->device traffic at setup is only the (T, K) loc/w arrays (~46 MB);
+the ~1 GB A matrix is materialized on device by K one-hot accumulations
+(important: the TPU tunnel in this environment makes large host transfers
+very slow).
+
+The apply math is exact: each output value is the same sum of K weighted
+source values, accumulated in f32 on the MXU (preferred_element_type=f32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TY = 32
+TX = 32
+TILE = TY * TX
+CB = 256            # columns per apply chunk
+W_STEP = 128        # slab width quantum (MXU lane width)
+W_CAP = 1024
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "w_width"))
+def _build_A(loc, w, n_tiles, w_width):
+    """(T, K) local indices + weights -> (n_tiles, TILE, W) one-hot sums."""
+    T, K = loc.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, w_width), 1)
+    A = jnp.zeros((T, w_width), jnp.float32)
+    for k in range(K):
+        A = A + jnp.where(cols == loc[:, k:k + 1], w[:, k:k + 1], 0.0)
+    return A.reshape(n_tiles, TILE, w_width)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _tile_matmul(A, slab, precision="highest"):
+    """(n_tiles, TILE, W) @ (n_tiles, W, C) -> (n_tiles, TILE, C).
+
+    precision: TPU MXU f32 emulation level — "default" is bf16 (1e-2 rel
+    error, NOT parity-grade), "high" bf16x3 (~1e-6), "highest" bf16x6/f32.
+    """
+    return jax.lax.dot_general(
+        A, slab,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision(precision),
+    )
+
+
+@partial(jax.jit, static_argnames=("nty", "ntx"))
+def _unblock(out_tiles, nty, ntx):
+    """(n_tiles, TILE, C) -> (nty*TY, ntx*TX, C)."""
+    C = out_tiles.shape[2]
+    a = out_tiles.reshape(nty, ntx, TY, TX, C)
+    return a.transpose(0, 2, 1, 3, 4).reshape(nty * TY, ntx * TX, C)
+
+
+def _tile_block(arr_g, nty, ntx, K):
+    return arr_g.reshape(nty, TY, ntx, TX, K).transpose(
+        0, 2, 1, 3, 4).reshape(-1, K)
+
+
+class SlabMatmulRegridder:
+    """Tile-blocked ELL operator applied as batched one-hot matmuls.
+
+    Raises ValueError when a tile references more than W_CAP unique source
+    rows (fallback: ops.apply.Regridder).
+    """
+
+    def __init__(self, ell, dtype=jnp.float32, precision: str = "highest"):
+        self.precision = precision
+        if len(ell.dst_shape) != 2:
+            raise ValueError("SlabMatmulRegridder needs a 2-D dst_shape")
+        ny, nx = ell.dst_shape
+        idx = np.asarray(ell.idx, dtype=np.int64)
+        w = np.asarray(ell.w, dtype=np.float64)
+        K = idx.shape[1]
+        self.n_src = ell.n_src
+        self.dst_shape = (ny, nx)
+
+        self.nty = -(-ny // TY)
+        self.ntx = -(-nx // TX)
+        nyp, nxp = self.nty * TY, self.ntx * TX
+        idx_g = np.zeros((nyp, nxp, K), np.int64)
+        w_g = np.zeros((nyp, nxp, K), np.float64)
+        idx_g[:ny, :nx] = idx.reshape(ny, nx, K)
+        w_g[:ny, :nx] = w.reshape(ny, nx, K)
+        idx_b = _tile_block(idx_g, self.nty, self.ntx, K)
+        w_b = _tile_block(w_g, self.nty, self.ntx, K)
+
+        n_tiles = self.nty * self.ntx
+        S1 = self.n_src + 1                       # per-tile sentinel spacing
+        tid = idx_b.reshape(n_tiles, TILE * K)
+        valid = (w_b != 0).reshape(n_tiles, TILE * K)
+
+        # --- vectorized per-tile unique + searchsorted ---------------------
+        # offset each tile's ids into a disjoint range, sentinel = tile max
+        offs = (np.arange(n_tiles, dtype=np.int64) * S1)[:, None]
+        coded = np.where(valid, tid, self.n_src) + offs       # (n_tiles, T*K)
+        s = np.sort(coded, axis=1)
+        first = np.ones_like(s, dtype=bool)
+        first[:, 1:] = s[:, 1:] != s[:, :-1]
+        is_real = (s - offs) < self.n_src
+        uniq_mask = first & is_real
+        counts = uniq_mask.sum(axis=1)
+        max_u = max(int(counts.max()), 1)
+        if max_u > W_CAP:
+            raise ValueError(
+                f"tile references {max_u} unique source rows > {W_CAP}")
+        W = -(-max_u // W_STEP) * W_STEP
+
+        # packed sorted unique ids per tile (sentinel-padded)
+        slab_coded = np.full((n_tiles, W), -1, dtype=np.int64)
+        pos = np.cumsum(uniq_mask, axis=1) - 1
+        trows = np.broadcast_to(np.arange(n_tiles)[:, None], s.shape)
+        slab_coded[trows[uniq_mask], pos[uniq_mask]] = s[uniq_mask]
+        pad = slab_coded < 0
+        slab_coded[pad] = (offs + self.n_src).repeat(W, axis=1)[pad]
+
+        # global searchsorted over the disjointly-offset key space: each
+        # tile's sorted uniques are < its sentinel pads (offs + n_src),
+        # which are < the next tile's smallest key (offs + n_src + 1), so
+        # the flattened key array is globally nondecreasing
+        flat_keys = slab_coded.reshape(-1)
+        loc_flat = np.searchsorted(flat_keys, coded.reshape(-1))
+        loc = (loc_flat - np.repeat(np.arange(n_tiles), TILE * K) * W).astype(
+            np.int32).reshape(n_tiles, TILE * K)
+        loc = np.clip(np.where(valid, loc, 0), 0, W - 1)
+
+        slab_idx = np.where(pad, 0, slab_coded - offs).astype(np.int64)
+
+        self.W = W
+        self.n_tiles = n_tiles
+        self.slab_idx = jnp.asarray(slab_idx.reshape(-1))
+        # A is built on device from the small loc/w arrays
+        self.A = _build_A(
+            jnp.asarray(loc.reshape(-1, K)),
+            jnp.asarray(
+                np.where(valid, w_b.reshape(n_tiles, TILE * K), 0.0)
+                .reshape(-1, K), dtype=jnp.float32),
+            n_tiles=n_tiles, w_width=W,
+        ).astype(dtype)
+        self.duplication = n_tiles * W / max(ell.n_src, 1)
+
+    def __call__(self, src_dev):
+        """src (n_src, C) on device. Returns (nyp, nxp, C) device array."""
+        if src_dev.ndim == 1:
+            src_dev = src_dev[:, None]
+        C = src_dev.shape[1]
+        outs = []
+        for lo in range(0, C, CB):
+            chunk = src_dev[:, lo:lo + CB]
+            slab = jnp.take(chunk, self.slab_idx, axis=0).reshape(
+                self.n_tiles, self.W, -1)
+            outs.append(_tile_matmul(self.A, slab, precision=self.precision))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
+        return _unblock(out, self.nty, self.ntx)
+
+    def apply_np(self, src):
+        src = np.asarray(src, dtype=np.float32)
+        squeeze = src.ndim == 1
+        out = self(jnp.asarray(src))
+        ny, nx = self.dst_shape
+        out = np.asarray(out[:ny, :nx])
+        return out[:, :, 0] if squeeze else out

@@ -1,0 +1,204 @@
+"""Pallas TPU kernel for the ELL weight apply with VMEM source reuse.
+
+The XLA path (ops/apply.py) random-gathers K rows from HBM per target row —
+measured at ~70-115 GB/s effective on v5e (~10% of HBM peak). But the
+operator is spatially coherent: each source cell feeds ~25 target points at
+15-km source / 3-km target resolution, so a 32x32 tile of targets
+references only ~70-150 *unique* source rows.
+
+Two-stage design (no constraint on source ordering):
+
+1. **Slab build (XLA):** one gather packs each tile's unique source rows
+   into a contiguous slab: ``slab = src[slab_idx]``, ``slab_idx
+   (n_tiles, W)`` — n_tiles*W rows total, ~1.3-2x the source size instead
+   of K*T. The slab is then transposed so source rows lie along the LANE
+   dimension: Mosaic's ``dynamic_gather`` only handles a gather dimension
+   that fits one vreg, i.e. 128 lanes.
+2. **Pallas kernel:** grid (n_tiles, n_colblocks). Each step's (CB, W)
+   transposed slab block streams into VMEM via BlockSpec pipelining; target
+   rows are processed 128 at a time with lane-wise ``take_along_axis``
+   (one vreg-gather per 128 targets per vreg of columns). W > 128 is
+   supported by gathering each 128-lane panel and selecting by index range.
+
+Host setup permutes ELL rows into tile-blocked order; the device restores
+row-major order with reshapes/transposes (sequential traffic).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TY = 32             # target tile height
+TX = 32             # target tile width
+TILE = TY * TX
+CB = 256            # columns per block
+SUB = 128           # targets per vreg-gather (lane count)
+M_MAX = 8           # max 128-lane panels per slab window (W <= 1024)
+
+
+def _make_kernel(k: int, m: int):
+    def _kernel(idx_ref, w_ref, slab_ref, out_ref):
+        win = slab_ref[0]                         # (CB, W) in VMEM
+        cb = win.shape[0]
+
+        def sub_body(sub, _):
+            lo = sub * SUB
+            acc = jnp.zeros((cb, SUB), win.dtype)
+            for kk in range(k):
+                rows = idx_ref[pl.ds(lo, SUB), kk]              # (SUB,)
+                rows2 = jnp.broadcast_to(rows[None, :], (cb, SUB))
+                if m == 1:
+                    g = jnp.take_along_axis(
+                        win, rows2, axis=1, mode="promise_in_bounds")
+                else:
+                    g = jnp.zeros((cb, SUB), win.dtype)
+                    for v in range(m):
+                        panel = win[:, v * SUB:(v + 1) * SUB]
+                        loc = jnp.clip(rows2 - v * SUB, 0, SUB - 1)
+                        gv = jnp.take_along_axis(
+                            panel, loc, axis=1, mode="promise_in_bounds")
+                        g = jnp.where(
+                            (rows2 >= v * SUB) & (rows2 < (v + 1) * SUB),
+                            gv, g)
+                wcol = w_ref[pl.ds(lo, SUB), kk]                # (SUB,)
+                acc = acc + jnp.broadcast_to(wcol[None, :], (cb, SUB)) * g
+            out_ref[0, :, pl.ds(lo, SUB)] = acc
+            return 0
+
+        jax.lax.fori_loop(0, TILE // SUB, sub_body, 0)
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("m", "interpret"))
+def _slab_apply(idx_local, w, slab_t, *, m, interpret=False):
+    """idx_local/w: (T, K); slab_t: (n_tiles, C, W). Returns (n_tiles, C, TILE)."""
+    T, K = idx_local.shape
+    n_tiles, C, Wl = slab_t.shape
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles, C // CB),
+        in_specs=[
+            pl.BlockSpec((TILE, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, CB, Wl), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, CB, TILE), lambda i, j: (i, j, 0)),
+    )
+    kwargs = {}
+    if not interpret:
+        # Mosaic's conservative scoped-vmem estimate for this kernel
+        # (~52 MB) exceeds the 16 MB default; the physical VMEM is 128 MB
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        _make_kernel(K, m),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, C, TILE), slab_t.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        **kwargs,
+    )(idx_local, w, slab_t)
+
+
+@partial(jax.jit, static_argnames=("nty", "ntx"))
+def _unblock(out_t, nty, ntx):
+    """(n_tiles, C, TILE) -> (nty*TY, ntx*TX, C) row-major."""
+    n_tiles, C, _ = out_t.shape
+    a = out_t.transpose(0, 2, 1).reshape(nty, ntx, TY, TX, C)
+    return a.transpose(0, 2, 1, 3, 4).reshape(nty * TY, ntx * TX, C)
+
+
+class WindowedRegridder:
+    """Slab-gather Pallas ELL apply over a 2-D structured target grid.
+
+    Raises ValueError when some tile references more than SUB*M_MAX unique
+    source rows (callers fall back to the XLA Regridder).
+    """
+
+    def __init__(self, ell, dtype=jnp.float32, interpret: bool = False):
+        if len(ell.dst_shape) != 2:
+            raise ValueError("WindowedRegridder needs a 2-D dst_shape")
+        ny, nx = ell.dst_shape
+        idx = np.asarray(ell.idx, dtype=np.int32)
+        w = np.asarray(ell.w, dtype=np.float32)
+        K = idx.shape[1]
+        self.n_src = ell.n_src
+        self.dst_shape = (ny, nx)
+        self.interpret = interpret
+
+        self.nty = -(-ny // TY)
+        self.ntx = -(-nx // TX)
+        nyp, nxp = self.nty * TY, self.ntx * TX
+        idx_g = np.zeros((nyp, nxp, K), np.int32)
+        w_g = np.zeros((nyp, nxp, K), np.float32)
+        idx_g[:ny, :nx] = idx.reshape(ny, nx, K)
+        w_g[:ny, :nx] = w.reshape(ny, nx, K)
+        idx_b = idx_g.reshape(self.nty, TY, self.ntx, TX, K).transpose(
+            0, 2, 1, 3, 4).reshape(-1, K)
+        w_b = w_g.reshape(self.nty, TY, self.ntx, TX, K).transpose(
+            0, 2, 1, 3, 4).reshape(-1, K)
+
+        n_tiles = self.nty * self.ntx
+        tid = idx_b.reshape(n_tiles, TILE * K)
+        valid = (w_b != 0).reshape(n_tiles, TILE * K)
+        uniques = []
+        max_u = 1
+        for t in range(n_tiles):
+            u = np.unique(tid[t][valid[t]])
+            if len(u) == 0:
+                u = np.zeros(1, np.int32)
+            uniques.append(u)
+            max_u = max(max_u, len(u))
+        if max_u > SUB * M_MAX:
+            raise ValueError(
+                f"tile references {max_u} unique source rows > {SUB * M_MAX}; "
+                "use the XLA path")
+        self.m = -(-max_u // SUB)
+        w_rows = self.m * SUB
+        slab_idx = np.zeros((n_tiles, w_rows), np.int64)
+        idx_local = np.zeros_like(idx_b)
+        loc_flat = idx_local.reshape(n_tiles, TILE * K)
+        for t in range(n_tiles):
+            u = uniques[t]
+            slab_idx[t, : len(u)] = u
+            loc = np.searchsorted(u, tid[t])
+            loc[~valid[t]] = 0
+            loc_flat[t] = np.clip(loc, 0, len(u) - 1)
+
+        self.w_rows = w_rows
+        self.slab_idx = jnp.asarray(slab_idx.reshape(-1))
+        self.idx_local = jnp.asarray(idx_local)
+        self.w = jnp.asarray(w_b, dtype=dtype)
+        self.n_tiles = n_tiles
+        self.duplication = n_tiles * w_rows / max(ell.n_src, 1)
+
+    def _pad_src(self, src):
+        src = np.asarray(src, dtype=np.float32)
+        if src.ndim == 1:
+            src = src[:, None]
+        S, C = src.shape
+        Cp = -(-C // CB) * CB
+        if Cp != C:
+            out = np.zeros((S, Cp), np.float32)
+            out[:, :C] = src
+            src = out
+        return src, C
+
+    def __call__(self, src_dev):
+        """Device path: src (n_src, Cp), Cp % CB == 0. Returns (nyp, nxp, Cp)."""
+        slab = jnp.take(src_dev, self.slab_idx, axis=0)
+        slab_t = slab.reshape(self.n_tiles, self.w_rows, -1).transpose(0, 2, 1)
+        out_t = _slab_apply(self.idx_local, self.w, slab_t,
+                            m=self.m, interpret=self.interpret)
+        return _unblock(out_t, self.nty, self.ntx)
+
+    def apply_np(self, src):
+        src_p, C = self._pad_src(src)
+        out = self(jnp.asarray(src_p))
+        ny, nx = self.dst_shape
+        out = np.asarray(out[:ny, :nx, :C])
+        return out if C > 1 else out[:, :, 0]

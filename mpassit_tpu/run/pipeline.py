@@ -107,6 +107,20 @@ def restagger_v(mass):
     return out
 
 
+def _make_regridder(ell: ELLWeights, dtype):
+    """Pick the apply engine: the MXU slab-matmul fast path for f32 2-D
+    grids (ops/matmul_apply), falling back to the plain gather Regridder
+    for f64 runs, 1-D targets, or pathological tiles."""
+    if dtype == jnp.float32 and len(ell.dst_shape) == 2:
+        try:
+            from ..ops.matmul_apply import SlabMatmulRegridder
+
+            return SlabMatmulRegridder(ell)
+        except ValueError:
+            pass
+    return Regridder(ell, dtype=dtype)
+
+
 @dataclasses.dataclass
 class PipelineArtifacts:
     """Intermediate state, exposed for tests/benchmarks."""
@@ -166,9 +180,16 @@ def run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         if cfg.interp_hist:
             read_hist_data(cfg.hist_file_input_grid, routing, data)
 
+    # Reference parity: block_decomp_file is validated when provided
+    # (model_grid.F90:437); sharding replaces it as the actual decomposition.
+    if cfg.block_decomp_file != "NULL":
+        from ..parallel.decomp import read_block_decomp_file
+
+        read_block_decomp_file(cfg.block_decomp_file, mesh.ncells)
+
     with _Timer(timings, "weight_generation"):
         weights = build_weights(cfg, mesh, grid, routing)
-        rgs = {k: Regridder(v, dtype=dtype) for k, v in weights.items()}
+        rgs = {k: _make_regridder(v, dtype) for k, v in weights.items()}
 
     res = RegridResult(nz=mesh.nz, nzp1=mesh.nzp1, nsoil=mesh.nsoil)
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
@@ -248,9 +269,13 @@ def main(argv=None) -> int:
     import sys
 
     argv = sys.argv[1:] if argv is None else argv
-    logging.basicConfig(level=logging.INFO, format="%(message)s")
     nml = argv[0] if argv else "./fort.41"  # mpassit.F90:52-65 default
     cfg = Config.from_namelist(nml)
+    # esmf_log maps to verbose logging (the reference's ESMF PET error logs,
+    # program_setup.F90:139-143)
+    logging.basicConfig(
+        level=logging.DEBUG if cfg.esmf_log else logging.INFO,
+        format="%(message)s")
     run_pipeline(cfg)
     log.info("- DONE.")
     return 0

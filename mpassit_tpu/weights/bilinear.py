@@ -97,39 +97,77 @@ def _cell_incident_triangles(mesh: MPASMesh):
     return tris, table
 
 
-def bilinear_cell_weights(mesh: MPASMesh, lat, lon, n_query: int = 3) -> ELLWeights:
+def bilinear_cell_weights(mesh: MPASMesh, lat, lon, n_query: int = 3,
+                          chunk: int = 400_000) -> ELLWeights:
     """Element-located bilinear: K=3 barycentric weights over the corner
-    cells of the containing Delaunay-dual triangle."""
+    cells of the containing Delaunay-dual triangle. Targets are processed in
+    chunks to bound the candidate-pair working set at CONUS scale."""
     lat = np.asarray(lat, dtype=np.float64)
     dst_shape = lat.shape
     p = lonlat_to_xyz(np.asarray(lon).reshape(-1), lat.reshape(-1))
     T = p.shape[0]
 
     tris, table = _cell_incident_triangles(mesh)
-
-    # candidate triangles: all triangles incident to the n_query nearest cells
-    _, near = mesh.cell_tree.query(p, k=n_query, workers=-1)
-    near = near.reshape(T, -1)
-
-    cand_all = table[near].reshape(T, -1)     # (T, n_query*width), -1 padded
-    valid = cand_all >= 0
-    tgt_ids = np.repeat(np.arange(T), valid.sum(axis=1))
-    cand = cand_all[valid]
-
-    tri_cells = tris[cand]                    # (P, 3)
     xyz = mesh.xyz_cell
-    w_cand = _bary(xyz[tri_cells[:, 0]], xyz[tri_cells[:, 1]],
-                   xyz[tri_cells[:, 2]], p[tgt_ids])
-
-    best_pair, best_minw = _select_best(tgt_ids, w_cand, T)
-    mapped = best_minw >= -TOL
 
     idx = np.zeros((T, 3), dtype=np.int32)
     w = np.zeros((T, 3), dtype=np.float64)
-    bp = best_pair[mapped]
-    idx[mapped] = tri_cells[bp].astype(np.int32)
-    w[mapped] = np.clip(w_cand[bp], 0.0, None)
-    w[mapped] /= w[mapped].sum(axis=1, keepdims=True)
+
+    from .. import native
+
+    tri_xyz = None
+    if native.get_lib() is not None:
+        tri_xyz = xyz[tris]                       # (ntri, 3, 3)
+
+    def locate(pc, rows, k):
+        """Fill idx/w for targets pc (global row ids `rows`) using the
+        triangles incident to their k nearest cells; returns the row ids
+        still unmapped."""
+        Tc = pc.shape[0]
+        _, near = mesh.cell_tree.query(pc, k=k, workers=-1)
+        near = near.reshape(Tc, -1)
+        cand = table[near].reshape(Tc, -1)        # (Tc, k*width), -1 padded
+
+        if tri_xyz is not None:
+            best, wsel = native.bary_locate(pc, cand, tri_xyz)
+            best_minw = np.where(best >= 0, wsel.min(axis=1), -np.inf)
+            mapped = best_minw >= -TOL
+            tri_ids = cand[np.arange(Tc)[mapped], best[mapped]]
+            idx[rows[mapped]] = tris[tri_ids].astype(np.int32)
+            wm = np.clip(wsel[mapped], 0.0, None)
+            w[rows[mapped]] = wm / wm.sum(axis=1, keepdims=True)
+            return rows[~mapped]
+
+        W = cand.shape[1]
+        safe = np.where(cand >= 0, cand, 0)
+        tri_cells = tris[safe.reshape(-1)]        # (Tc*W, 3)
+        w_cand = _bary(
+            xyz[tri_cells[:, 0]], xyz[tri_cells[:, 1]], xyz[tri_cells[:, 2]],
+            np.repeat(pc, W, axis=0),
+        )
+        minw = w_cand.min(axis=1).reshape(Tc, W)
+        minw[cand < 0] = -np.inf
+        best = np.argmax(minw, axis=1)            # padded argmax, no sort
+        best_minw = minw[np.arange(Tc), best]
+        mapped = best_minw >= -TOL
+        sel = best[mapped] + np.arange(Tc)[mapped] * W
+        idx[rows[mapped]] = tri_cells[sel].astype(np.int32)
+        wm = np.clip(w_cand[sel], 0.0, None)
+        w[rows[mapped]] = wm / wm.sum(axis=1, keepdims=True)
+        return rows[~mapped]
+
+    for lo in range(0, T, chunk):
+        hi = min(lo + chunk, T)
+        rows = np.arange(lo, hi)
+        # stage 1: the nearest cell's incident triangles contain the point in
+        # the overwhelming majority of cases (the containing Delaunay
+        # triangle almost always has the nearest generator as a corner)
+        missing = locate(p[lo:hi], rows, 1)
+        if len(missing):
+            # stage 2: widen the search for the stragglers
+            missing = locate(p[missing], missing, max(n_query, 4))
+        # remaining rows stay unmapped (quirk Q5)
+
     return ELLWeights(idx=idx, w=w, n_src=mesh.ncells, method="bilinear",
                       dst_shape=dst_shape, src_loc="element")
 

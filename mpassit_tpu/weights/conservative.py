@@ -176,13 +176,16 @@ def conservative_weights(mesh: MPASMesh, target_grid,
             spoly[sflip], rev[sflip][:, :, None], axis=1
         )
 
-        poly, cnt = spoly, scnt
-        for edge in range(4):
-            a = quad[:, edge]
-            b = quad[:, (edge + 1) % 4]
-            poly, cnt = _clip_halfplane(poly, cnt, a, b)
+        from .. import native
 
-        area = _poly_area(poly, cnt)
+        area = native.clip_pairs(quad, spoly, scnt)
+        if area is None:  # NumPy fallback (no compiler available)
+            poly, cnt = spoly, scnt
+            for edge in range(4):
+                a = quad[:, edge]
+                b = quad[:, (edge + 1) % 4]
+                poly, cnt = _clip_halfplane(poly, cnt, a, b)
+            area = _poly_area(poly, cnt)
         frac = np.where(qarea > 0, area / qarea, 0.0)
         keep = frac > 1e-12
         acc_t.append(pt[keep])

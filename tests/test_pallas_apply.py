@@ -1,0 +1,118 @@
+"""Windowed Pallas apply vs the XLA path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpassit_tpu.mesh.reorder import (
+    apply_perm,
+    latitude_band_order,
+    reorder_cells_by_latitude,
+    reorder_cells_morton,
+)
+from mpassit_tpu.mesh.synthetic import synthetic_voronoi_mesh
+from mpassit_tpu.ops.apply import Regridder
+from mpassit_tpu.ops.pallas_apply import WindowedRegridder
+from mpassit_tpu.weights.bilinear import bilinear_cell_weights
+
+from test_weights import coarse_lambert_grid
+
+
+@pytest.fixture(scope="module")
+def problem():
+    mesh = synthetic_voronoi_mesh(ncells=3000, nz=3, nsoil=1, seed=9)
+    grid = coarse_lambert_grid(nx=64, ny=40, dx=80e3)
+    ro = reorder_cells_morton(mesh, grid.proj)
+    ell = bilinear_cell_weights(ro.mesh, grid.lat, grid.lon)
+    return mesh, ro, grid, ell
+
+
+def test_reorder_preserves_geometry(problem):
+    mesh, ro, grid, ell = problem
+    m2 = ro.mesh
+    assert np.allclose(np.sort(m2.lat_cell), np.sort(mesh.lat_cell))
+    # connectivity still inverts
+    for v in (0, 100, m2.nvertices - 1):
+        for c in m2.cells_on_vertex[v]:
+            assert v in m2.vertices_on_cell[c]
+    # band ordering: lat nondecreasing across band starts
+    order = latitude_band_order(mesh.lat_cell, mesh.lon_cell, 5.0)
+    assert (np.diff(np.floor((mesh.lat_cell[order] + 90) / 5.0)) >= 0).all()
+
+
+def test_reorder_equivalent_result(problem):
+    """Regrid through the reordered mesh == regrid through the original."""
+    mesh, ro, grid, ell = problem
+    ell0 = bilinear_cell_weights(mesh, grid.lat, grid.lon)
+    f = np.sin(np.deg2rad(mesh.lat_cell)) * np.cos(np.deg2rad(mesh.lon_cell))
+    out0 = Regridder(ell0, dtype=jnp.float64).apply_np(f)
+    out1 = Regridder(ell, dtype=jnp.float64).apply_np(apply_perm(f, ro.perm))
+    np.testing.assert_allclose(out1, out0, atol=1e-12)
+
+
+def test_windowed_matches_xla(problem):
+    mesh, ro, grid, ell = problem
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((ro.mesh.ncells, 4)).astype(np.float32)
+    ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
+    wr = WindowedRegridder(ell, interpret=True)
+    out = wr.apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-6)
+
+
+def test_windowed_1d_source(problem):
+    mesh, ro, grid, ell = problem
+    src = np.arange(ro.mesh.ncells, dtype=np.float32)
+    ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
+    out = WindowedRegridder(ell, interpret=True).apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-5)
+
+
+def test_windowed_rejects_too_many_uniques(problem):
+    """A fully scattered operator exceeds the per-tile unique-row cap."""
+    mesh, ro, grid, ell = problem
+    import dataclasses
+
+    rng = np.random.default_rng(1)
+    scrambled = dataclasses.replace(ell, idx=rng.integers(
+        0, ell.n_src, size=ell.idx.shape).astype(np.int32))
+    with pytest.raises(ValueError, match="unique source rows"):
+        WindowedRegridder(scrambled, interpret=True)
+
+
+def test_windowed_works_without_reorder(problem):
+    """The slab design has no ordering requirement — original mesh ids
+    work too (ordering only helps slab-gather coherence)."""
+    mesh, ro, grid, ell = problem
+    ell0 = bilinear_cell_weights(mesh, grid.lat, grid.lon)
+    src = np.random.default_rng(3).standard_normal(
+        (mesh.ncells, 2)).astype(np.float32)
+    ref = Regridder(ell0, dtype=jnp.float32).apply_np(src)
+    out = WindowedRegridder(ell0, interpret=True).apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-6)
+
+
+def test_slab_matmul_matches_xla(problem):
+    from mpassit_tpu.ops.matmul_apply import SlabMatmulRegridder
+
+    mesh, ro, grid, ell = problem
+    rng = np.random.default_rng(4)
+    src = rng.standard_normal((ro.mesh.ncells, 5)).astype(np.float32)
+    ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
+    mm = SlabMatmulRegridder(ell)
+    out = mm.apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-5)
+    # 1-D source
+    out1 = mm.apply_np(src[:, 0])
+    np.testing.assert_allclose(out1, ref[:, :, 0], rtol=2e-6, atol=2e-5)
+
+
+def test_slab_matmul_column_chunking(problem):
+    from mpassit_tpu.ops.matmul_apply import CB, SlabMatmulRegridder
+
+    mesh, ro, grid, ell = problem
+    rng = np.random.default_rng(5)
+    src = rng.standard_normal((ro.mesh.ncells, CB + 7)).astype(np.float32)
+    ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
+    out = SlabMatmulRegridder(ell).apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-5)

@@ -1,0 +1,52 @@
+"""Distributed correctness: sharded result == unsharded result (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpassit_tpu.ops.apply import Regridder
+from mpassit_tpu.parallel.sharding import (
+    ShardedRegridder,
+    make_grid_mesh,
+    shard_map_apply,
+)
+from mpassit_tpu.weights.bilinear import bilinear_cell_weights
+
+from test_weights import coarse_lambert_grid
+
+
+@pytest.fixture(scope="module")
+def ell(small_mesh):
+    grid = coarse_lambert_grid(nx=23, ny=17)   # deliberately not div by 8
+    return bilinear_cell_weights(small_mesh, grid.lat, grid.lon)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_grid_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_equals_unsharded(small_mesh, ell):
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(5)
+    src = rng.standard_normal((small_mesh.ncells, 9))
+
+    ref = Regridder(ell, dtype=jnp.float64).apply_np(src)
+    out = ShardedRegridder(ell, mesh, dtype=jnp.float64).apply_np(src)
+    # f64 on CPU: bit-identical contraction order per row
+    np.testing.assert_array_equal(out.reshape(ref.shape), ref)
+
+
+def test_shard_map_apply_matches(small_mesh, ell):
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(6)
+    src = rng.standard_normal((small_mesh.ncells, 4))
+    ref = Regridder(ell, dtype=jnp.float64).apply_np(src).reshape(-1, 4)
+    out = np.asarray(shard_map_apply(ell, mesh, src, dtype=jnp.float64))
+    np.testing.assert_allclose(out, ref, rtol=1e-13)
+
+    # 1-D source path
+    ref1 = Regridder(ell, dtype=jnp.float64).apply_np(src[:, 0]).reshape(-1)
+    out1 = np.asarray(shard_map_apply(ell, mesh, src[:, 0], dtype=jnp.float64))
+    np.testing.assert_allclose(out1, ref1, rtol=1e-13)
