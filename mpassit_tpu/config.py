@@ -169,6 +169,9 @@ class Config:
     varlist_dir: str = "."
     #: on-disk weight cache directory ("" disables) — the RegridStore analog.
     weights_cache_dir: str = ""
+    #: shard the apply over this many local JAX devices (0/1 = single device;
+    #: -1 = all). Replaces the reference's MPI rank count (mpassit.F90:14-15).
+    n_device_shards: int = 0
 
     # --- derived (program_setup.F90:60-71) ----------------------------------
     dxkm: float = NAN

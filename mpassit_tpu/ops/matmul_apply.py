@@ -51,6 +51,9 @@ def _build_A(loc, w, n_tiles, w_width):
     return A.reshape(n_tiles, TILE, w_width)
 
 
+GRID_AXIS = "grid"   # mesh axis name shared with parallel/sharding.py
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def _tile_matmul(A, slab, precision="highest"):
     """(n_tiles, TILE, W) @ (n_tiles, W, C) -> (n_tiles, TILE, C).
@@ -84,10 +87,18 @@ class SlabMatmulRegridder:
 
     Raises ValueError when a tile references more than W_CAP unique source
     rows (fallback: ops.apply.Regridder).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the tile axis of A and
+    slab_idx is sharded across devices and the source stays replicated —
+    the multi-chip configuration: each chip gathers and multiplies only its
+    own tiles, no collectives on the hot path (the reference's equivalent is
+    the ESMF target-grid decomposition, model_grid.F90:687-703).
     """
 
-    def __init__(self, ell, dtype=jnp.float32, precision: str = "highest"):
+    def __init__(self, ell, dtype=jnp.float32, precision: str = "highest",
+                 mesh=None):
         self.precision = precision
+        self.mesh = mesh
         if len(ell.dst_shape) != 2:
             raise ValueError("SlabMatmulRegridder needs a 2-D dst_shape")
         ny, nx = ell.dst_shape
@@ -147,16 +158,44 @@ class SlabMatmulRegridder:
         loc = np.clip(np.where(valid, loc, 0), 0, W - 1)
 
         slab_idx = np.where(pad, 0, slab_coded - offs).astype(np.int64)
+        loc_w = np.where(valid, w_b.reshape(n_tiles, TILE * K), 0.0)
+
+        # pad the tile axis to a device multiple when sharding
+        self.n_tiles_data = n_tiles
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            tpad = (-n_tiles) % n_dev
+            if tpad:
+                slab_idx = np.concatenate(
+                    [slab_idx, np.zeros((tpad, W), np.int64)], axis=0)
+                loc = np.concatenate(
+                    [loc, np.zeros((tpad, TILE * K), np.int32)], axis=0)
+                loc_w = np.concatenate(
+                    [loc_w, np.zeros((tpad, TILE * K), np.float64)], axis=0)
+                n_tiles += tpad
 
         self.W = W
         self.n_tiles = n_tiles
-        self.slab_idx = jnp.asarray(slab_idx.reshape(-1))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._tile_sharding = NamedSharding(mesh, P(axis, None))
+            self._tile3_sharding = NamedSharding(mesh, P(axis, None, None))
+            self._src_sharding = NamedSharding(mesh, P())
+            self.slab_idx = jax.device_put(
+                jnp.asarray(slab_idx), self._tile_sharding)
+            build = jax.jit(
+                _build_A, static_argnames=("n_tiles", "w_width"),
+                out_shardings=self._tile3_sharding)
+        else:
+            self._src_sharding = None
+            self.slab_idx = jnp.asarray(slab_idx)
+            build = _build_A
         # A is built on device from the small loc/w arrays
-        self.A = _build_A(
+        self.A = build(
             jnp.asarray(loc.reshape(-1, K)),
-            jnp.asarray(
-                np.where(valid, w_b.reshape(n_tiles, TILE * K), 0.0)
-                .reshape(-1, K), dtype=jnp.float32),
+            jnp.asarray(loc_w.reshape(-1, K), dtype=jnp.float32),
             n_tiles=n_tiles, w_width=W,
         ).astype(dtype)
         self.duplication = n_tiles * W / max(ell.n_src, 1)
@@ -165,15 +204,18 @@ class SlabMatmulRegridder:
         """src (n_src, C) on device. Returns (nyp, nxp, C) device array."""
         if src_dev.ndim == 1:
             src_dev = src_dev[:, None]
+        if self._src_sharding is not None:
+            src_dev = jax.device_put(src_dev, self._src_sharding)
         C = src_dev.shape[1]
         outs = []
         for lo in range(0, C, CB):
             chunk = src_dev[:, lo:lo + CB]
-            slab = jnp.take(chunk, self.slab_idx, axis=0).reshape(
-                self.n_tiles, self.W, -1)
+            # slab_idx (n_tiles, W): take -> (n_tiles, W, C), sharded over
+            # tiles when a mesh is set (indices sharded, source replicated)
+            slab = jnp.take(chunk, self.slab_idx, axis=0)
             outs.append(_tile_matmul(self.A, slab, precision=self.precision))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
-        return _unblock(out, self.nty, self.ntx)
+        return _unblock(out[: self.n_tiles_data], self.nty, self.ntx)
 
     def apply_np(self, src):
         src = np.asarray(src, dtype=np.float32)

@@ -67,13 +67,15 @@ class ShardedRegridder:
             out_shardings=self.out_sharding)
 
     def __call__(self, src):
-        src = jax.device_put(jnp.atleast_2d(jnp.asarray(src).T).T
-                             if jnp.asarray(src).ndim == 1
-                             else jnp.asarray(src), self.src_sharding)
-        if src.ndim == 1:
+        src = jnp.asarray(src)
+        squeeze = src.ndim == 1
+        if squeeze:
             src = src[:, None]
-        out = self._apply(self.idx, self.w, src)
-        return out[: self.n_dst]
+        src = jax.device_put(src, self.src_sharding)
+        out = self._apply(self.idx, self.w, src)[: self.n_dst]
+        if squeeze:
+            return out[:, 0].reshape(self.dst_shape)
+        return out.reshape(self.dst_shape + (src.shape[1],))
 
     def apply_np(self, src):
         return np.asarray(self(src))

@@ -107,18 +107,41 @@ def restagger_v(mass):
     return out
 
 
-def _make_regridder(ell: ELLWeights, dtype):
+def _make_regridder(ell: ELLWeights, dtype, mesh=None):
     """Pick the apply engine: the MXU slab-matmul fast path for f32 2-D
     grids (ops/matmul_apply), falling back to the plain gather Regridder
-    for f64 runs, 1-D targets, or pathological tiles."""
+    for f64 runs, 1-D targets, or pathological tiles. With ``mesh``
+    (n_device_shards > 1), the operator is sharded across devices."""
     if dtype == jnp.float32 and len(ell.dst_shape) == 2:
         try:
             from ..ops.matmul_apply import SlabMatmulRegridder
 
-            return SlabMatmulRegridder(ell)
+            return SlabMatmulRegridder(ell, mesh=mesh)
         except ValueError:
             pass
+    if mesh is not None:
+        from ..parallel.sharding import ShardedRegridder
+
+        return ShardedRegridder(ell, mesh, dtype=dtype)
     return Regridder(ell, dtype=dtype)
+
+
+def _device_mesh(cfg):
+    """1-D device mesh for n_device_shards, or None for single-device."""
+    n = cfg.n_device_shards
+    if n in (0, 1):
+        return None
+    import jax
+
+    devs = jax.devices()
+    if n == -1:
+        n = len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"n_device_shards={n} but only {len(devs)} devices present")
+    from ..parallel.sharding import make_grid_mesh
+
+    return make_grid_mesh(devs[:n])
 
 
 @dataclasses.dataclass
@@ -189,7 +212,9 @@ def run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
 
     with _Timer(timings, "weight_generation"):
         weights = build_weights(cfg, mesh, grid, routing)
-        rgs = {k: _make_regridder(v, dtype) for k, v in weights.items()}
+        dev_mesh = _device_mesh(cfg)
+        rgs = {k: _make_regridder(v, dtype, mesh=dev_mesh)
+               for k, v in weights.items()}
 
     res = RegridResult(nz=mesh.nz, nzp1=mesh.nzp1, nsoil=mesh.nsoil)
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32

@@ -50,3 +50,35 @@ def test_shard_map_apply_matches(small_mesh, ell):
     ref1 = Regridder(ell, dtype=jnp.float64).apply_np(src[:, 0]).reshape(-1)
     out1 = np.asarray(shard_map_apply(ell, mesh, src[:, 0], dtype=jnp.float64))
     np.testing.assert_allclose(out1, ref1, rtol=1e-13)
+
+
+def test_slab_matmul_sharded_equals_unsharded(small_mesh, ell):
+    """Tile-sharded SlabMatmulRegridder == single-device result (f32)."""
+    from mpassit_tpu.ops.matmul_apply import SlabMatmulRegridder
+
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(7)
+    src = rng.standard_normal((small_mesh.ncells, 6)).astype(np.float32)
+
+    ref = SlabMatmulRegridder(ell).apply_np(src)
+    out = SlabMatmulRegridder(ell, mesh=mesh).apply_np(src)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_with_device_shards(tmp_path):
+    """n_device_shards=8 drives the full pipeline on the virtual CPU mesh."""
+    import jax.numpy as jnp
+
+    from mpassit_tpu.run.pipeline import run_pipeline
+    from test_pipeline import make_case
+
+    mesh, cfg, hist_fields, diag_fields = make_case(tmp_path, ncells=900,
+                                                    nx=17, ny=13)
+    art_ref = run_pipeline(cfg, dtype=jnp.float32)
+    ref_t2 = [x for x in art_ref.result.diag2d if x[0] == "T2"][0][1]
+
+    cfg.n_device_shards = -1
+    cfg.output_file = str(tmp_path / "out_sharded.nc")
+    art = run_pipeline(cfg, dtype=jnp.float32)
+    t2 = [x for x in art.result.diag2d if x[0] == "T2"][0][1]
+    np.testing.assert_allclose(t2, ref_t2, rtol=1e-6)
