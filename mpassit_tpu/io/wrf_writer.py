@@ -22,12 +22,15 @@ Field data is float32 in the file (NF90_FLOAT throughout the reference).
 from __future__ import annotations
 
 import dataclasses
+import logging
 from datetime import datetime
 
 import numpy as np
 
 from ..constants import PROJ_LC
 from .nc4 import NetCDF4File
+
+log = logging.getLogger("mpassit_tpu")
 
 DATESTRLEN = 19
 NC_FILL_FLOAT = np.float32(9.96921e36)
@@ -79,6 +82,9 @@ class _W:
 
     def var(self, name, dims, data, units, desc, coords, stagger,
             memorder, fieldtype=104, dtype="f4"):
+        # per-field min/max sanity log (write_data.F90:1283,1349)
+        if log.isEnabledFor(logging.DEBUG) and np.asarray(data).size:
+            log.debug(" %s %s %s", name, np.min(data), np.max(data))
         self.f.create_var(name, dims, dtype, data=data)
         self.f.set_attr("description", desc, var=name)
         self.f.set_attr("units", units, var=name)

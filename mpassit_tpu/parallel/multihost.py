@@ -1,0 +1,75 @@
+"""Multi-host runtime initialization (the MPI_Init / ESMF VM replacement).
+
+The reference launches N MPI ranks and wraps them in an ESMF VM
+(``mpassit.F90:71,89-96``). The TPU-native equivalent is JAX's distributed
+runtime: one Python process per host, each seeing its local chips, with
+collectives riding ICI within a slice and DCN across slices.
+
+Usage (per host)::
+
+    from mpassit_tpu.parallel.multihost import maybe_init_distributed
+    maybe_init_distributed()          # no-op on a single host
+
+Initialization is driven by environment variables so that the same CLI
+invocation works single- and multi-host:
+
+- ``MPASSIT_COORDINATOR``  address of process 0, e.g. ``10.0.0.1:8476``
+- ``MPASSIT_NUM_PROCESSES``  world size
+- ``MPASSIT_PROCESS_ID``  this host's rank
+
+(or any standard launcher JAX auto-detects — SLURM, Open MPI, GKE — in which
+case ``jax.distributed.initialize()`` needs no arguments and we pass none).
+
+After initialization, ``jax.devices()`` spans every chip in the job, so the
+pipeline's ``n_device_shards=-1`` shards the apply over the full slice; the
+output gather (``write_to_file``) runs on process 0 only, matching the
+reference's rank-0 serial NetCDF write (``write_data.F90``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger("mpassit_tpu")
+
+_ENV_COORD = "MPASSIT_COORDINATOR"
+_ENV_NPROC = "MPASSIT_NUM_PROCESSES"
+_ENV_PID = "MPASSIT_PROCESS_ID"
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed when multi-host env vars (or an
+    auto-detectable launcher) are present. Returns True when a multi-host
+    runtime was initialized. Idempotent; safe to call on a single host."""
+    import jax
+
+    coord = os.environ.get(_ENV_COORD)
+    nproc = os.environ.get(_ENV_NPROC)
+    pid = os.environ.get(_ENV_PID)
+    if coord is None and nproc is None:
+        return False
+    try:
+        if coord is not None:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc) if nproc else None,
+                process_id=int(pid) if pid else None,
+            )
+        else:
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        # already initialized (idempotence)
+        if "already" not in str(e):
+            raise
+    log.info("- distributed runtime: process %d of %d, %d devices",
+             jax.process_index(), jax.process_count(),
+             len(jax.devices()))
+    return True
+
+
+def is_primary() -> bool:
+    """True on the process that owns the output write (rank 0 analog)."""
+    import jax
+
+    return jax.process_index() == 0

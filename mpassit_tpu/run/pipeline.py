@@ -22,8 +22,10 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -183,6 +185,17 @@ def build_weights(cfg: Config, mesh: MPASMesh, grid: TargetGrid,
 
 
 def run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
+    import contextlib
+
+    # SURVEY §5 tracing row: opt-in jax.profiler trace of the whole run
+    prof_dir = os.environ.get("MPASSIT_PROFILE")
+    profile_cm = (jax.profiler.trace(prof_dir) if prof_dir
+                  else contextlib.nullcontext())
+    with profile_cm:
+        return _run_pipeline(cfg, dtype)
+
+
+def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
     timings = Timings()
     with _Timer(timings, "define_target_grid"):
         grid = build_target_grid(cfg)
@@ -282,8 +295,11 @@ def run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
             res.hgt = rgs["bilinear"].apply_np(mesh.ter.astype(np_dtype))
         res.zs = mesh.zs
 
-    with _Timer(timings, "write_to_file"):
-        write_output(cfg.output_file, cfg, grid, data, res)
+    # serial write on process 0 only (the reference's rank-0 NetCDF write,
+    # write_data.F90); single-host this is always True
+    if jax.process_index() == 0:
+        with _Timer(timings, "write_to_file"):
+            write_output(cfg.output_file, cfg, grid, data, res)
 
     return PipelineArtifacts(cfg=cfg, grid=grid, mesh=mesh, routing=routing,
                              data=data, result=res, regridders=rgs,
@@ -295,6 +311,14 @@ def main(argv=None) -> int:
 
     argv = sys.argv[1:] if argv is None else argv
     nml = argv[0] if argv else "./fort.41"  # mpassit.F90:52-65 default
+    # some TPU plugins force their platform from sitecustomize, overriding
+    # JAX_PLATFORMS; MPASSIT_PLATFORM=cpu reliably steers the CLI
+    plat = os.environ.get("MPASSIT_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    from ..parallel.multihost import maybe_init_distributed
+
+    maybe_init_distributed()
     cfg = Config.from_namelist(nml)
     # esmf_log maps to verbose logging (the reference's ESMF PET error logs,
     # program_setup.F90:139-143)
