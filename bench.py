@@ -45,7 +45,6 @@ def main() -> int:
     from mpassit_tpu.config import Config
     from mpassit_tpu.grids.target import build_target_grid
     from mpassit_tpu.mesh.synthetic import synthetic_voronoi_mesh
-    from mpassit_tpu.ops.apply import apply_ell
     from mpassit_tpu.ops.rotate import rotate_winds
     from mpassit_tpu.weights.bilinear import bilinear_cell_weights
     from mpassit_tpu.weights.conservative import conservative_weights
@@ -99,66 +98,81 @@ def main() -> int:
     src = rng.standard_normal((mesh.ncells, cols_bilinear + cols_vert)).astype(np.float32)
     src_small = rng.standard_normal((mesh.ncells, cols_cons + cols_nstd)).astype(np.float32)
 
-    idx_b = jax.device_put(jnp.asarray(ell_b.idx), dev)
-    w_b = jax.device_put(jnp.asarray(ell_b.w, dtype=jnp.float32), dev)
-    idx_n = jax.device_put(jnp.asarray(ell_n.idx), dev)
-    w_n = jax.device_put(jnp.asarray(ell_n.w, dtype=jnp.float32), dev)
-    idx_c = jax.device_put(jnp.asarray(ell_c.idx), dev)
-    w_c = jax.device_put(jnp.asarray(ell_c.w, dtype=jnp.float32), dev)
     src_d = jax.device_put(jnp.asarray(src), dev)
     src_s = jax.device_put(jnp.asarray(src_small), dev)
-    cosa = jax.device_put(jnp.asarray(grid.cosa.reshape(-1, 1), dtype=jnp.float32), dev)
-    sina = jax.device_put(jnp.asarray(grid.sina.reshape(-1, 1), dtype=jnp.float32), dev)
 
-    CHUNK = 128
-    # pad the bilinear stack to a CHUNK multiple so every scan step has the
-    # same shape and XLA reuses one chunk buffer (peak HBM ~= 1 chunk)
+    CHUNK = 256
+    # pad the bilinear stack to a CHUNK multiple so every matmul step has
+    # the same shape
     pad = (-src.shape[1]) % CHUNK
     if pad:
         src = np.pad(src, ((0, 0), (0, pad)))
+        src_d = jax.device_put(jnp.asarray(src), dev)
     n_chunks = src.shape[1] // CHUNK
 
-    # MXU slab-matmul fast path for bilinear (the dominant column load);
-    # nearest/conservative ride the plain gather (few columns)
-    from mpassit_tpu.ops.matmul_apply import SlabMatmulRegridder
+    # Every method rides the MXU slab-matmul path (what run_pipeline uses):
+    # one wide HBM row-gather packs each 32x32 target tile's unique source
+    # rows, then batched one-hot matmuls on the MXU produce the tile outputs.
+    from mpassit_tpu.ops.matmul_apply import (
+        TILE,
+        SlabMatmulRegridder,
+        _tile_matmul,
+        _tile_block,
+    )
 
-    mm = SlabMatmulRegridder(ell_b)
-    A_d = mm.A
-    slab_idx_d = mm.slab_idx
+    mm_b = SlabMatmulRegridder(ell_b)
+    mm_n = SlabMatmulRegridder(ell_n)
+    mm_c = SlabMatmulRegridder(ell_c)
+    # rotation angles in tile-blocked layout (n_tiles, TILE, 1)
+    cs = np.zeros((mm_b.nty * 32, mm_b.ntx * 32, 2), np.float32)
+    cs[:ny, :nx, 0] = grid.cosa.reshape(ny, nx)
+    cs[:ny, :nx, 1] = grid.sina.reshape(ny, nx)
+    cs_t = _tile_block(cs, mm_b.nty, mm_b.ntx, 2).reshape(mm_b.n_tiles, TILE, 2)
+    # (nt, TILE) so rotate_winds broadcasts over the level axis
+    cosa_t = jax.device_put(jnp.asarray(cs_t[:, :, 0]), dev)
+    sina_t = jax.device_put(jnp.asarray(cs_t[:, :, 1]), dev)
 
     def make_pipeline(n_passes):
         # NOTE measurement integrity: the checksum is sum(out*out) — a LINEAR
         # checksum (out.sum()) lets XLA factor the reduction through the
         # gather (sum columns first, then gather scalars), eliding ~all HBM
         # traffic and inflating throughput ~1000x. Each outer iteration also
-        # perturbs the weights so loop-invariant code motion can't hoist the
-        # body.
-        from mpassit_tpu.ops.matmul_apply import _tile_matmul
+        # perturbs the source so loop-invariant code motion can't hoist the
+        # body. Big arrays are explicit jit args: the remote-compile tunnel
+        # rejects large captured constants.
 
         @jax.jit
-        def pipeline(A, slab_idx, idx_b, w_b, idx_n, w_n, idx_c, w_c,
-                     src, src_s, cosa, sina):
+        def pipeline(A_b, si_b, A_n, si_n, A_c, si_c,
+                     src, src_s, cosa_t, sina_t):
             def one_pass(i, acc0):
                 scale = 1.0 + 1e-12 * i.astype(jnp.float32)
 
+                # bilinear stack: ONE wide gather, then chunked MXU matmuls
+                slab = jnp.take(src, si_b, axis=0) * scale  # (nt, W, C)
+
                 def body(acc, j):
                     blk = jax.lax.dynamic_slice_in_dim(
-                        src, j * CHUNK, CHUNK, axis=1)
-                    slab = jnp.take(blk, slab_idx, axis=0).reshape(
-                        mm.n_tiles, mm.W, -1)
-                    # perturb the (small) slab, not the 1-GB A matrix
-                    out = _tile_matmul(A, slab * scale, precision="highest")
+                        slab, j * CHUNK, CHUNK, axis=2)
+                    out = _tile_matmul(A_b, blk, precision="highest")
                     return acc + (out * out).sum(), None
 
                 acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
-                # winds: one level-stack rotation
-                u = apply_ell(idx_b, w_b * scale, src[:, :1])
-                v = apply_ell(idx_b, w_b * scale, src[:, 1:2])
-                ur, vr = rotate_winds(u, v, cosa, sina)
+
+                # winds: first nz columns = u levels, next nz = v levels;
+                # rotate on the tile-blocked grid (interp.F90:291-293)
+                out0 = _tile_matmul(
+                    A_b, jax.lax.dynamic_slice_in_dim(slab, 0, CHUNK, 2),
+                    precision="highest")
+                u, v = out0[:, :, :nz], out0[:, :, nz:2 * nz]
+                ur, vr = rotate_winds(u, v, cosa_t, sina_t)
                 acc = acc + (ur * ur).sum() + (vr * vr).sum()
-                out = apply_ell(idx_n, w_n * scale, src_s)
+
+                # nearest (incl. soil, quirk Q3) + conservative slabs
+                slab_n = jnp.take(src_s, si_n, axis=0) * scale
+                out = _tile_matmul(A_n, slab_n, precision="highest")
                 acc = acc + (out * out).sum()
-                out = apply_ell(idx_c, w_c * scale, src_s[:, :cols_cons])
+                slab_c = jnp.take(src_s[:, :cols_cons], si_c, axis=0) * scale
+                out = _tile_matmul(A_c, slab_c, precision="highest")
                 acc = acc + (out * out).sum()
                 return acc
 
@@ -166,8 +180,8 @@ def main() -> int:
                                      jnp.zeros((), jnp.float32))
         return pipeline
 
-    args = (A_d, slab_idx_d, idx_b, w_b, idx_n, w_n, idx_c, w_c, src_d,
-            src_s, cosa, sina)
+    args = (mm_b.A, mm_b.slab_idx, mm_n.A, mm_n.slab_idx, mm_c.A,
+            mm_c.slab_idx, src_d, src_s, cosa_t, sina_t)
     # NOTE: through this environment's TPU tunnel, block_until_ready() does
     # NOT synchronize with remote execution — only fetching the value does.
     # All timings force a host fetch of the scalar checksum.
@@ -193,13 +207,15 @@ def main() -> int:
     t_np = (time.perf_counter() - t0) * (T / sub)
     np_value = T * src.shape[1] / t_np  # columns it processed, scaled
 
-    # implied HBM traffic sanity figure: gathers (K rows/target) + weights
-    K_b, K_c = ell_b.idx.shape[1], ell_c.idx.shape[1]
-    bytes_pass = 4.0 * T * (
-        K_b * (src.shape[1] + 2) + src.shape[1]          # bilinear gather+out
-        + (1 + K_c) * src_small.shape[1]                  # nstd + cons
-        + 2 * (K_b + 1)                                   # idx+w
-    )
+    # HBM traffic model for the slab path: per method, slab gather write+read,
+    # A re-read per 256-col chunk, tile outputs consumed fused (no HBM write).
+    def slab_bytes(mm, C):
+        chunks = max(1, -(-C // CHUNK))
+        return 4.0 * (2 * mm.n_tiles * mm.W * C               # slab wr+rd
+                      + chunks * mm.n_tiles * 1024 * mm.W)    # A per chunk
+    bytes_pass = (slab_bytes(mm_b, src.shape[1])
+                  + slab_bytes(mm_n, src_small.shape[1])
+                  + slab_bytes(mm_c, cols_cons))
     result = {
         "metric": "grid-points/s regrid throughput "
                   f"({nx}x{ny} CONUS-class diag+hist stack, {total_cols} cols)",

@@ -207,13 +207,17 @@ class SlabMatmulRegridder:
         if self._src_sharding is not None:
             src_dev = jax.device_put(src_dev, self._src_sharding)
         C = src_dev.shape[1]
-        outs = []
-        for lo in range(0, C, CB):
-            chunk = src_dev[:, lo:lo + CB]
-            # slab_idx (n_tiles, W): take -> (n_tiles, W, C), sharded over
-            # tiles when a mesh is set (indices sharded, source replicated)
-            slab = jnp.take(chunk, self.slab_idx, axis=0)
-            outs.append(_tile_matmul(self.A, slab, precision=self.precision))
+        # ONE wide gather for all columns: the HBM row-gather has a large
+        # fixed per-row cost (measured ~2.7x cheaper than per-chunk gathers
+        # on v5e), then the MXU runs over CB-column slices of the slab.
+        # slab (n_tiles, W, C) is sharded over tiles when a mesh is set
+        # (indices sharded, source replicated).
+        slab = jnp.take(src_dev, self.slab_idx, axis=0)
+        outs = [
+            _tile_matmul(self.A, slab[:, :, lo:lo + CB],
+                         precision=self.precision)
+            for lo in range(0, C, CB)
+        ]
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
         return _unblock(out[: self.n_tiles_data], self.nty, self.ntx)
 
