@@ -159,9 +159,12 @@ def main() -> int:
                 acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
 
                 # winds: first nz columns = u levels, next nz = v levels;
-                # rotate on the tile-blocked grid (interp.F90:291-293)
+                # rotate on the tile-blocked grid (interp.F90:291-293).
+                # Slice just the wind columns (128-aligned) for the restagger
+                # matmul instead of redoing the full stack.
+                wcols = -(-2 * nz // 128) * 128
                 out0 = _tile_matmul(
-                    A_b, jax.lax.dynamic_slice_in_dim(slab, 0, CHUNK, 2),
+                    A_b, jax.lax.dynamic_slice_in_dim(slab, 0, wcols, 2),
                     precision="highest")
                 u, v = out0[:, :, :nz], out0[:, :, nz:2 * nz]
                 ur, vr = rotate_winds(u, v, cosa_t, sina_t)
@@ -185,12 +188,10 @@ def main() -> int:
     # NOTE: through this environment's TPU tunnel, block_until_ready() does
     # NOT synchronize with remote execution — only fetching the value does.
     # All timings force a host fetch of the scalar checksum.
-    t0 = time.perf_counter()
-    float(np.asarray(make_pipeline(1)(*args)))
-    t_compile = time.perf_counter() - t0
-
     timed = make_pipeline(passes)
-    float(np.asarray(timed(*args)))  # compile the n-pass variant
+    t0 = time.perf_counter()
+    float(np.asarray(timed(*args)))  # compile + warm run
+    t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
     checksum = float(np.asarray(timed(*args)))
     t_apply = (time.perf_counter() - t0) / passes

@@ -35,7 +35,12 @@ import numpy as np
 TY = 32
 TX = 32
 TILE = TY * TX
-CB = 256            # columns per apply chunk
+# columns per apply chunk. Wider chunks amortize the A-matrix HBM re-read
+# but the gain is small (cb=1024 measured only 1.15x over cb=256 at C=1024:
+# the matmul is flop-bound at precision=highest) and the Mosaic compile of
+# the wide batched matmul is pathologically slow through remote-compile
+# tunnels — 256 is the robust choice.
+CB = 256
 W_STEP = 128        # slab width quantum (MXU lane width)
 W_CAP = 1024
 
@@ -59,7 +64,9 @@ def _tile_matmul(A, slab, precision="highest"):
     """(n_tiles, TILE, W) @ (n_tiles, W, C) -> (n_tiles, TILE, C).
 
     precision: TPU MXU f32 emulation level — "default" is bf16 (1e-2 rel
-    error, NOT parity-grade), "high" bf16x3 (~1e-6), "highest" bf16x6/f32.
+    error, NOT parity-grade), "high" bf16x3 (measured max rel err ~1e-2 on
+    this operator's data — also not parity-grade), "highest" bf16x6/f32
+    (p99 rel err ~1e-7 vs the f64 oracle; the only parity-safe choice).
     """
     return jax.lax.dot_general(
         A, slab,

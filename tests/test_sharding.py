@@ -82,3 +82,22 @@ def test_pipeline_with_device_shards(tmp_path):
     art = run_pipeline(cfg, dtype=jnp.float32)
     t2 = [x for x in art.result.diag2d if x[0] == "T2"][0][1]
     np.testing.assert_allclose(t2, ref_t2, rtol=1e-6)
+
+
+def test_ring_apply_matches(small_mesh, ell):
+    """Ring ppermute halo apply == unsharded apply (f64 bit-parity per row
+    requires same contraction order; the ring accumulates per-block partials,
+    so compare allclose)."""
+    from mpassit_tpu.parallel.sharding import ring_apply
+
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(8)
+    src = rng.standard_normal((small_mesh.ncells, 5))
+    ref = Regridder(ell, dtype=jnp.float64).apply_np(src).reshape(-1, 5)
+    out = np.asarray(ring_apply(ell, mesh, src, dtype=jnp.float64))
+    np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-13)
+
+    # 1-D path
+    ref1 = ref[:, 0]
+    out1 = np.asarray(ring_apply(ell, mesh, src[:, 0], dtype=jnp.float64))
+    np.testing.assert_allclose(out1, ref1, rtol=1e-13, atol=1e-13)
