@@ -214,24 +214,55 @@ class SlabMatmulRegridder:
         if self._src_sharding is not None:
             src_dev = jax.device_put(src_dev, self._src_sharding)
         C = src_dev.shape[1]
+        # pad the column count to a CB multiple so every bundle size reuses
+        # ONE compiled (gather, matmul) shape — Mosaic compiles are seconds
+        # each through remote-compile tunnels, one per distinct C otherwise
+        pad = (-C) % CB
+        if pad:
+            src_dev = jnp.pad(src_dev, ((0, 0), (0, pad)))
+        Cp = C + pad
         # ONE wide gather for all columns: the HBM row-gather has a large
         # fixed per-row cost (measured ~2.7x cheaper than per-chunk gathers
         # on v5e), then the MXU runs over CB-column slices of the slab.
-        # slab (n_tiles, W, C) is sharded over tiles when a mesh is set
+        # slab (n_tiles, W, Cp) is sharded over tiles when a mesh is set
         # (indices sharded, source replicated).
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         outs = [
             _tile_matmul(self.A, slab[:, :, lo:lo + CB],
                          precision=self.precision)
-            for lo in range(0, C, CB)
+            for lo in range(0, Cp, CB)
         ]
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
-        return _unblock(out[: self.n_tiles_data], self.nty, self.ntx)
+        return _unblock(out[: self.n_tiles_data], self.nty, self.ntx)[:, :, :C]
 
     def apply_np(self, src):
+        """Host-array apply with bounded device memory: the slab is gathered
+        once, then each CB-column chunk is matmul'd, unblocked, and fetched
+        to host before the next chunk allocates — peak device residency is
+        one output chunk (the device-side concat of a ~600-column 3-D stack
+        would otherwise double a multi-GB buffer and OOM a 16 GB chip).
+        The host fetch mirrors the reference's gather-to-rank-0 for the
+        serial NetCDF write (write_data.F90:1006)."""
         src = np.asarray(src, dtype=np.float32)
         squeeze = src.ndim == 1
-        out = self(jnp.asarray(src))
+        if squeeze:
+            src = src[:, None]
+        C = src.shape[1]
+        pad = (-C) % CB
+        if pad:
+            src = np.pad(src, ((0, 0), (0, pad)))
+        src_dev = jnp.asarray(src)
+        if self._src_sharding is not None:
+            src_dev = jax.device_put(src_dev, self._src_sharding)
+        slab = jnp.take(src_dev, self.slab_idx, axis=0)
         ny, nx = self.dst_shape
-        out = np.asarray(out[:ny, :nx])
+        out = np.empty((ny, nx, C), np.float32)
+        for lo in range(0, C, CB):
+            o = _tile_matmul(
+                self.A, jax.lax.dynamic_slice_in_dim(slab, lo, CB, axis=2),
+                precision=self.precision)
+            o = _unblock(o[: self.n_tiles_data], self.nty, self.ntx)
+            cb_eff = min(CB, C - lo)
+            out[:, :, lo:lo + cb_eff] = np.asarray(
+                o[:ny, :nx, :cb_eff])
         return out[:, :, 0] if squeeze else out

@@ -22,6 +22,13 @@ Two-stage design (no constraint on source ordering):
 
 Host setup permutes ELL rows into tile-blocked order; the device restores
 row-major order with reshapes/transposes (sequential traffic).
+
+STATUS (measured on v5e, 1801x1061 CONUS, C=512): this VPU-gather kernel
+runs at ~2.4 s/pass — Mosaic lowers the lane-wise ``take_along_axis`` to a
+per-element form ~27x slower than the MXU one-hot matmul in
+ops/matmul_apply.py (~89 ms production). It is kept as the reference
+implementation of in-VMEM slab reuse (and exercised by tests in interpret
+mode); the production engine is SlabMatmulRegridder.
 """
 
 from __future__ import annotations
