@@ -260,8 +260,20 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                 res.vert3d = _stack_apply(rgs["vertex"], data, routing.vert_3d,
                                           3, np_dtype)
             if routing.cons_2d:
-                res.cons2d = _stack_apply(rgs["conserve"], data,
-                                          routing.cons_2d, 2, np_dtype)
+                if cfg.interp_as_bundle:
+                    res.cons2d = _stack_apply(rgs["conserve"], data,
+                                              routing.cons_2d, 2, np_dtype)
+                else:
+                    # interp_as_bundle=.false.: conservative fields regridded
+                    # one at a time (interp.F90:368-416; the reference notes
+                    # it is "faster and less memory intensive" — here it
+                    # bounds device memory to one field per apply)
+                    res.cons2d = [
+                        one
+                        for s in routing.cons_2d
+                        for one in _stack_apply(rgs["conserve"], data, [s], 2,
+                                                np_dtype)
+                    ]
             if routing.nstd_2d:
                 res.nstd2d = _stack_apply(rgs["nearest"], data,
                                           routing.nstd_2d, 2, np_dtype)

@@ -277,3 +277,17 @@ def test_neither_flag_errors(tmp_path):
     cfg.interp_diag = cfg.interp_hist = False
     with pytest.raises(ValueError, match="INTERP_DIAG"):
         run_pipeline(cfg)
+
+
+def test_interp_as_bundle_false_matches_bundle(tmp_path, full_run):
+    """interp_as_bundle=.false. regrids conservative fields one at a time
+    (interp.F90:368-416); the results must match the bundled apply."""
+    _, bundle_cfg, bundle_art, _, _ = full_run
+    mesh, cfg, _, _ = make_case(tmp_path)
+    cfg.interp_as_bundle = False
+    art = run_pipeline(cfg, dtype=jnp.float64)
+    assert [n for n, *_ in art.result.cons2d] == \
+        [n for n, *_ in bundle_art.result.cons2d]
+    for (na, a, *_), (nb, b, *_) in zip(art.result.cons2d,
+                                        bundle_art.result.cons2d):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
