@@ -153,7 +153,7 @@ def main() -> int:
                 def body(acc, j):
                     blk = jax.lax.dynamic_slice_in_dim(
                         slab, j * CHUNK, CHUNK, axis=2)
-                    out = _tile_matmul(A_b, blk, precision="highest")
+                    out = _tile_matmul(A_b, blk)
                     return acc + (out * out).sum(), None
 
                 acc, _ = jax.lax.scan(body, acc0, jnp.arange(n_chunks))
@@ -164,18 +164,17 @@ def main() -> int:
                 # matmul instead of redoing the full stack.
                 wcols = -(-2 * nz // 128) * 128
                 out0 = _tile_matmul(
-                    A_b, jax.lax.dynamic_slice_in_dim(slab, 0, wcols, 2),
-                    precision="highest")
+                    A_b, jax.lax.dynamic_slice_in_dim(slab, 0, wcols, 2))
                 u, v = out0[:, :, :nz], out0[:, :, nz:2 * nz]
                 ur, vr = rotate_winds(u, v, cosa_t, sina_t)
                 acc = acc + (ur * ur).sum() + (vr * vr).sum()
 
                 # nearest (incl. soil, quirk Q3) + conservative slabs
                 slab_n = jnp.take(src_s, si_n, axis=0) * scale
-                out = _tile_matmul(A_n, slab_n, precision="highest")
+                out = _tile_matmul(A_n, slab_n)
                 acc = acc + (out * out).sum()
                 slab_c = jnp.take(src_s[:, :cols_cons], si_c, axis=0) * scale
-                out = _tile_matmul(A_c, slab_c, precision="highest")
+                out = _tile_matmul(A_c, slab_c)
                 acc = acc + (out * out).sum()
                 return acc
 

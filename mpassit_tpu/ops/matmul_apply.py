@@ -3,25 +3,36 @@
 The ELL apply is a random K-row gather per target — XLA's HBM gather runs at
 ~10% of peak on v5e, and Mosaic's in-VMEM dynamic_gather is VPU-bound and
 slower still. But the operator is spatially coherent: a 32x32 tile of
-target points references only ~70-150 unique source rows. That turns the
-gather into dense linear algebra:
+target points references only ~12-40 unique source rows (post-processing
+grids are finer than the source mesh). That turns the gather into dense
+linear algebra:
 
-    A[t]    (TILE x W)   one-hot-weighted: A[t, p, r] = sum_k w[p, k]
-                         over k with loc[p, k] == r  (built ONCE, on device)
+    A[t]    (W x TILE)   one-hot-weighted, TRANSPOSED layout:
+                         A[t, r, p] = sum_k w[p, k] over k with
+                         loc[p, k] == r  (built ONCE, on device)
     slab[t] (W x C)      = src[slab_idx[t]]         (one coherent gather)
-    out[t]  (TILE x C)   = A[t] @ slab[t]           (batched MXU matmul)
+    out[t]  (TILE x C)   = A[t]^T @ slab[t]         (batched MXU matmul)
 
-Per pass this reads A + slab (~1.5x src) sequentially and writes out —
-within ~1.5x of the output-write speed-of-light — instead of K*T random
-rows at gather speed.
+Layout matters twice on TPU:
+
+- W sits on the SUBLANE dim of both operands (pad-to-8/16), not the lane
+  dim (pad-to-128): with W=16 typical, the old (TILE, W)-layout A padded
+  8x in HBM and forced a 128-deep contraction. Transposed, A and slab
+  shrink to their true W.
+- precision: the default "split_bf16" mode splits A and slab into
+  bf16 (hi, lo) pairs STACKED along the contraction dim — A as
+  (Ah, Ah, Al), slab as (Sh, Sl, Sh) — so ONE default-precision MXU pass
+  over 3W computes Ah@Sh + Ah@Sl + Al@Sh, the bf16x3 compensated product
+  (max rel err ~2e-5, p99 ~1e-5 vs the f64 oracle on CONUS weights; the
+  f32 file output the reference writes carries 6e-8). One bf16 pass
+  (3W <= 128) replaces the 6 passes of precision=highest: measured
+  6.8 ms vs 27.5 ms per 1024-col CONUS pass on v5e. "highest" mode (f32
+  operands, Precision.HIGHEST) is kept for strict-parity runs
+  (p99 rel err ~1e-7).
 
 Host->device traffic at setup is only the (T, K) loc/w arrays (~46 MB);
-the ~1 GB A matrix is materialized on device by K one-hot accumulations
-(important: the TPU tunnel in this environment makes large host transfers
-very slow).
-
-The apply math is exact: each output value is the same sum of K weighted
-source values, accumulated in f32 on the MXU (preferred_element_type=f32).
+A is materialized on device by K one-hot accumulations (important: the
+TPU tunnel in this environment makes large host transfers very slow).
 """
 
 from __future__ import annotations
@@ -35,44 +46,82 @@ import numpy as np
 TY = 32
 TX = 32
 TILE = TY * TX
-# columns per apply chunk. Wider chunks amortize the A-matrix HBM re-read
-# but the gain is small (cb=1024 measured only 1.15x over cb=256 at C=1024:
-# the matmul is flop-bound at precision=highest) and the Mosaic compile of
-# the wide batched matmul is pathologically slow through remote-compile
-# tunnels — 256 is the robust choice.
+# columns per apply chunk: bounds device memory in apply_np and keeps one
+# compiled matmul shape per engine (Mosaic compiles are seconds each
+# through remote-compile tunnels).
 CB = 256
-W_STEP = 128        # slab width quantum (MXU lane width)
+W_STEP = 8          # slab width quantum (f32 sublane)
 W_CAP = 1024
+
+#: apply numerics: "split_bf16" (default, one MXU pass, ~1e-5 rel err) or
+#: "highest" (six MXU passes, ~1e-7 rel err, strict parity).
+PRECISIONS = ("split_bf16", "highest")
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "w_width"))
-def _build_A(loc, w, n_tiles, w_width):
-    """(T, K) local indices + weights -> (n_tiles, TILE, W) one-hot sums."""
+def _build_A_T(loc, w, n_tiles, w_width):
+    """(T, K) local indices + weights -> (n_tiles, W, TILE) one-hot sums
+    (transposed layout: W on the sublane/contraction dim)."""
     T, K = loc.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, w_width), 1)
     A = jnp.zeros((T, w_width), jnp.float32)
     for k in range(K):
         A = A + jnp.where(cols == loc[:, k:k + 1], w[:, k:k + 1], 0.0)
-    return A.reshape(n_tiles, TILE, w_width)
+    return A.reshape(n_tiles, TILE, w_width).swapaxes(1, 2)
 
 
 GRID_AXIS = "grid"   # mesh axis name shared with parallel/sharding.py
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def _tile_matmul(A, slab, precision="highest"):
-    """(n_tiles, TILE, W) @ (n_tiles, W, C) -> (n_tiles, TILE, C).
+def _split_hilo(x):
+    """f32 -> (hi, lo) bf16 pair with x ~= hi + lo.
 
-    precision: TPU MXU f32 emulation level — "default" is bf16 (1e-2 rel
-    error, NOT parity-grade), "high" bf16x3 (measured max rel err ~1e-2 on
-    this operator's data — also not parity-grade), "highest" bf16x6/f32
-    (p99 rel err ~1e-7 vs the f64 oracle; the only parity-safe choice).
+    The optimization_barrier is load-bearing: XLA:TPU's algebraic
+    simplifier folds the f32->bf16->f32 round-trip to identity, which
+    silently turns ``lo`` into exact zero and the compensated product into
+    plain bf16 (measured: max rel err 1.9e-2 instead of ~1e-5)."""
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _stack_A(A, axis):
+    """A f32 -> (Ah, Ah, Al) stacked bf16: pairs with (Sh, Sl, Sh) so the
+    stacked contraction computes Ah@Sh + Ah@Sl + Al@Sh — the three leading
+    terms of the compensated f32 product (the dropped Al@Sl term is
+    O(2^-18) relative)."""
+    hi, lo = _split_hilo(A)
+    return jnp.concatenate([hi, hi, lo], axis=axis)
+
+
+def _stack_S(S, axis):
+    """S f32 -> (Sh, Sl, Sh) stacked bf16 (see _stack_A)."""
+    hi, lo = _split_hilo(S)
+    return jnp.concatenate([hi, lo, hi], axis=axis)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _tile_matmul(A, slab, precision="split_bf16"):
+    """Batched per-tile apply: out (n_tiles, TILE, C).
+
+    A: (n_tiles, 3W, TILE) bf16 pre-split  when precision == "split_bf16"
+       (n_tiles,  W, TILE) f32             when precision == "highest"
+    slab: (n_tiles, W, C) f32 — split on the fly in split_bf16 mode.
+
+    split_bf16: one default-precision bf16 MXU pass over the stacked
+    contraction dim computes the compensated product (see _stack_A);
+    f32 accumulation via preferred_element_type.
     """
+    if precision == "split_bf16":
+        slab = _stack_S(slab, axis=1)
+        prec = jax.lax.Precision("default")
+    else:
+        prec = jax.lax.Precision(precision)
     return jax.lax.dot_general(
         A, slab,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision(precision),
+        precision=prec,
     )
 
 
@@ -102,8 +151,10 @@ class SlabMatmulRegridder:
     the ESMF target-grid decomposition, model_grid.F90:687-703).
     """
 
-    def __init__(self, ell, dtype=jnp.float32, precision: str = "highest",
+    def __init__(self, ell, dtype=jnp.float32, precision: str = "split_bf16",
                  mesh=None):
+        if precision not in PRECISIONS:
+            raise ValueError(f"precision must be one of {PRECISIONS}")
         self.precision = precision
         self.mesh = mesh
         if len(ell.dst_shape) != 2:
@@ -193,18 +244,24 @@ class SlabMatmulRegridder:
             self.slab_idx = jax.device_put(
                 jnp.asarray(slab_idx), self._tile_sharding)
             build = jax.jit(
-                _build_A, static_argnames=("n_tiles", "w_width"),
+                _build_A_T, static_argnames=("n_tiles", "w_width"),
                 out_shardings=self._tile3_sharding)
         else:
             self._src_sharding = None
             self.slab_idx = jnp.asarray(slab_idx)
-            build = _build_A
-        # A is built on device from the small loc/w arrays
-        self.A = build(
+            build = _build_A_T
+        # A is built on device from the small loc/w arrays, in the
+        # transposed (n_tiles, W, TILE) layout; split_bf16 mode pre-splits
+        # it once into the stacked (n_tiles, 3W, TILE) bf16 form.
+        A = build(
             jnp.asarray(loc.reshape(-1, K)),
             jnp.asarray(loc_w.reshape(-1, K), dtype=jnp.float32),
             n_tiles=n_tiles, w_width=W,
-        ).astype(dtype)
+        )
+        if precision == "split_bf16":
+            self.A = jax.jit(partial(_stack_A, axis=1))(A)
+        else:
+            self.A = A.astype(dtype)
         self.duplication = n_tiles * W / max(ell.n_src, 1)
 
     def __call__(self, src_dev):

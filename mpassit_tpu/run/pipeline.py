@@ -109,7 +109,8 @@ def restagger_v(mass):
     return out
 
 
-def _make_regridder(ell: ELLWeights, dtype, mesh=None):
+def _make_regridder(ell: ELLWeights, dtype, mesh=None,
+                    precision="split_bf16"):
     """Pick the apply engine: the MXU slab-matmul fast path for f32 2-D
     grids (ops/matmul_apply), falling back to the plain gather Regridder
     for f64 runs, 1-D targets, or pathological tiles. With ``mesh``
@@ -118,7 +119,7 @@ def _make_regridder(ell: ELLWeights, dtype, mesh=None):
         try:
             from ..ops.matmul_apply import SlabMatmulRegridder
 
-            return SlabMatmulRegridder(ell, mesh=mesh)
+            return SlabMatmulRegridder(ell, mesh=mesh, precision=precision)
         except ValueError:
             pass
     if mesh is not None:
@@ -226,7 +227,8 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
     with _Timer(timings, "weight_generation"):
         weights = build_weights(cfg, mesh, grid, routing)
         dev_mesh = _device_mesh(cfg)
-        rgs = {k: _make_regridder(v, dtype, mesh=dev_mesh)
+        rgs = {k: _make_regridder(v, dtype, mesh=dev_mesh,
+                                  precision=cfg.apply_precision)
                for k, v in weights.items()}
 
     res = RegridResult(nz=mesh.nz, nzp1=mesh.nzp1, nsoil=mesh.nsoil)
