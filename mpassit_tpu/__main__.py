@@ -1,8 +1,10 @@
-"""CLI entry point: ``python -m mpassit_tpu <namelist>`` (defaults to
-./fort.41 like the reference driver, mpassit.F90:52-65)."""
+"""CLI entry point: ``python -m mpassit_tpu <namelist>`` or the ``mpassit``
+console script (defaults to ./fort.41 like the reference driver,
+mpassit.F90:52-65)."""
 
 import sys
 
 from .run.pipeline import main
 
-sys.exit(main())
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,10 +172,11 @@ class Config:
     #: shard the apply over this many local JAX devices (0/1 = single device;
     #: -1 = all). Replaces the reference's MPI rank count (mpassit.F90:14-15).
     n_device_shards: int = 0
-    #: apply numerics: "split_bf16" (one MXU pass, ~1e-5 rel err — the f32
-    #: output file carries 6e-8) or "highest" (six passes, ~1e-7 rel err).
-    #: The reference computes in f64 (CMakeLists.txt:80) but writes f32.
-    apply_precision: str = "split_bf16"
+    #: apply numerics: "highest" (six MXU passes, ~1e-7 rel err — the
+    #: parity-safe default, matching the reference's f64 compute / f32 file
+    #: output, CMakeLists.txt:80) or "split_bf16" (one MXU pass, ~1e-5 rel
+    #: err) for users who opt into speed over strict allclose parity.
+    apply_precision: str = "highest"
 
     # --- derived (program_setup.F90:60-71) ----------------------------------
     dxkm: float = NAN

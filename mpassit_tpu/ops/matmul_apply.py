@@ -53,8 +53,8 @@ CB = 256
 W_STEP = 8          # slab width quantum (f32 sublane)
 W_CAP = 1024
 
-#: apply numerics: "split_bf16" (default, one MXU pass, ~1e-5 rel err) or
-#: "highest" (six MXU passes, ~1e-7 rel err, strict parity).
+#: apply numerics: "highest" (default, six MXU passes, ~1e-7 rel err,
+#: strict parity) or "split_bf16" (one MXU pass, ~1e-5 rel err, opt-in speed).
 PRECISIONS = ("split_bf16", "highest")
 
 
@@ -151,7 +151,7 @@ class SlabMatmulRegridder:
     the ESMF target-grid decomposition, model_grid.F90:687-703).
     """
 
-    def __init__(self, ell, dtype=jnp.float32, precision: str = "split_bf16",
+    def __init__(self, ell, dtype=jnp.float32, precision: str = "highest",
                  mesh=None):
         if precision not in PRECISIONS:
             raise ValueError(f"precision must be one of {PRECISIONS}")

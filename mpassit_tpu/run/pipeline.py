@@ -110,7 +110,7 @@ def restagger_v(mass):
 
 
 def _make_regridder(ell: ELLWeights, dtype, mesh=None,
-                    precision="split_bf16"):
+                    precision="highest"):
     """Pick the apply engine: the MXU slab-matmul fast path for f32 2-D
     grids (ops/matmul_apply), falling back to the plain gather Regridder
     for f64 runs, 1-D targets, or pathological tiles. With ``mesh``

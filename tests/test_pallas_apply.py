@@ -99,16 +99,17 @@ def test_slab_matmul_matches_xla(problem):
     rng = np.random.default_rng(4)
     src = rng.standard_normal((ro.mesh.ncells, 5)).astype(np.float32)
     ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
-    # default split_bf16 mode: one MXU pass, compensated bf16x4 product
+    # default mode is "highest": f32 operands, Precision.HIGHEST (parity-safe)
     mm = SlabMatmulRegridder(ell)
+    assert mm.precision == "highest"
     out = mm.apply_np(src)
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-5)
     # 1-D source
     out1 = mm.apply_np(src[:, 0])
-    np.testing.assert_allclose(out1, ref[:, :, 0], rtol=1e-4, atol=1e-4)
-    # strict-parity mode: f32 operands, Precision.HIGHEST
-    out_h = SlabMatmulRegridder(ell, precision="highest").apply_np(src)
-    np.testing.assert_allclose(out_h, ref, rtol=2e-6, atol=2e-5)
+    np.testing.assert_allclose(out1, ref[:, :, 0], rtol=2e-6, atol=2e-5)
+    # opt-in speed mode: one MXU pass, compensated bf16x3 product
+    out_b = SlabMatmulRegridder(ell, precision="split_bf16").apply_np(src)
+    np.testing.assert_allclose(out_b, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_slab_matmul_column_chunking(problem):
@@ -120,6 +121,32 @@ def test_slab_matmul_column_chunking(problem):
     ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
     out = SlabMatmulRegridder(ell).apply_np(src)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_precision_error_bounds(problem):
+    """Backs the documented error claims (ops/matmul_apply.py docstring,
+    CMakeLists.txt:80 reference f64 compute): vs an f64 oracle apply,
+    precision="highest" carries ~1e-7 relative error (f32 rounding) and
+    precision="split_bf16" ~1e-5 (compensated bf16x3 product)."""
+    from mpassit_tpu.ops.matmul_apply import SlabMatmulRegridder
+
+    mesh, ro, grid, ell = problem
+    rng = np.random.default_rng(7)
+    src64 = rng.standard_normal((ro.mesh.ncells, 8))
+    ref = Regridder(ell, dtype=jnp.float64).apply_np(src64)
+    src32 = src64.astype(np.float32)
+    scale = np.abs(ref) + 1.0  # rng values are O(1); guards unmapped zeros
+
+    err_h = np.abs(SlabMatmulRegridder(ell, precision="highest")
+                   .apply_np(src32) - ref) / scale
+    err_b = np.abs(SlabMatmulRegridder(ell, precision="split_bf16")
+                   .apply_np(src32) - ref) / scale
+    assert np.quantile(err_h, 0.99) < 5e-7, err_h.max()
+    assert err_h.max() < 5e-6
+    assert np.quantile(err_b, 0.99) < 5e-5, err_b.max()
+    assert err_b.max() < 1e-3
+    # the speed mode really is coarser — otherwise the bounds prove nothing
+    assert err_b.max() > err_h.max()
 
 
 def test_split_hilo_residual_survives_jit():
