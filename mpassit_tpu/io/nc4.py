@@ -21,6 +21,10 @@ _CDF_MAGICS = (b"CDF\x01", b"CDF\x02", b"CDF\x05")
 
 
 def _decode(v):
+    import h5py
+
+    if isinstance(v, h5py.Empty):  # null dataspace = zero-length text attr
+        return ""
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     if isinstance(v, np.ndarray):
@@ -99,7 +103,19 @@ class NetCDF4File:
 
         self.path = path
         self.mode = mode
-        self._f = h5py.File(path, mode)
+        # track_order: netCDF-C enumerates dims/vars/attrs in creation order
+        # (HDF5 link/attr creation-order indexes); without it h5py defaults
+        # to name order and nc_inq_dimname(0) would return the alphabetically
+        # first dim instead of the first-defined one.
+        if mode in ("w", "w-", "x"):
+            self._f = h5py.File(path, mode, track_order=True)
+            # netCDF-C stamps every file it creates with _NCProperties
+            # (libhdf5 superblock attr); real consumers (ncdump, UPP) carry
+            # it through, so we write the same marker.
+            self._f.attrs["_NCProperties"] = np.bytes_(
+                b"version=2,netcdf=4.9.0,hdf5=1.10.8")
+        else:
+            self._f = h5py.File(path, mode)
         self._dimids: dict[str, int] = {}
         if mode == "r":
             for name, ds in self._f.items():
@@ -180,7 +196,17 @@ class NetCDF4File:
     def set_attr(self, name: str, value, var: str | None = None):
         target = self._f if var is None else self._f[var]
         if isinstance(value, str):
-            target.attrs[name] = value
+            # fixed-length bytes -> netCDF-C sees NC_CHAR (text) attrs, the
+            # type netcdf-fortran writes (nf90_put_att with character data);
+            # h5py's default str mapping would surface as NC_STRING instead.
+            # Empty strings use a null dataspace (how netCDF-C stores
+            # zero-length text attrs, e.g. stagger="" on mass-point vars).
+            if value == "":
+                import h5py
+
+                target.attrs[name] = h5py.Empty(np.dtype("S1"))
+            else:
+                target.attrs[name] = np.bytes_(value.encode())
         elif isinstance(value, (int, np.integer)):
             target.attrs[name] = np.int32(value)
         elif isinstance(value, float):
@@ -191,9 +217,11 @@ class NetCDF4File:
     def create_dim(self, name: str, size: int | None):
         """def_dim: size=None -> unlimited (current size grows on write)."""
         if size is None:
-            ds = self._f.create_dataset(name, shape=(0,), maxshape=(None,), dtype="f4")
+            ds = self._f.create_dataset(name, shape=(0,), maxshape=(None,),
+                                        dtype="f4", track_order=True)
         else:
-            ds = self._f.create_dataset(name, shape=(size,), dtype="f4")
+            ds = self._f.create_dataset(name, shape=(size,), dtype="f4",
+                                        track_order=True)
         ds.make_scale(_NC_DIM_NAME % (0 if size is None else size))
         ds.attrs["_Netcdf4Dimid"] = np.int32(len(self._dimids))
         self._dimids[name] = len(self._dimids)
@@ -211,7 +239,8 @@ class NetCDF4File:
         kwargs = {}
         if compress:
             kwargs.update(compression="gzip", compression_opts=1, shuffle=True)
-        ds = self._f.create_dataset(name, shape=shape, dtype=dtype, **kwargs)
+        ds = self._f.create_dataset(name, shape=shape, dtype=dtype,
+                                    track_order=True, **kwargs)
         for i, d in enumerate(dims):
             ds.dims[i].attach_scale(self._f[d])
         ds.attrs["_Netcdf4Coordinates"] = np.array(
