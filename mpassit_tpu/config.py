@@ -25,8 +25,12 @@ from .constants import (
 )
 
 
-class ConfigError(ValueError):
-    """Raised for invalid configuration (the reference mpi_aborts instead)."""
+from .errors import FatalError
+
+
+class ConfigError(FatalError):
+    """Raised for invalid configuration (the reference error_handler
+    prints + mpi_aborts, program_setup.F90 via utils.F90:16-33)."""
 
 
 # ---------------------------------------------------------------------------

@@ -64,8 +64,11 @@ class Routing:
 def read_varlist(path: str) -> list[FieldSpec]:
     """Two whitespace-separated columns: mpas_name OUTPUT_NAME
     (input_data.F90:1146-1194; blank lines skipped)."""
+    from ..errors import FatalError
+
     if not os.path.exists(path):
-        raise FileNotFoundError(f"VARLIST FILE {path} not exist")
+        # input_data.F90:1162: error_handler("VARLIST FILE <f> not exist", 1)
+        raise FatalError(f"VARLIST FILE {path} not exist", rc=1)
     specs = []
     with open(path) as f:
         for line in f:
@@ -73,7 +76,8 @@ def read_varlist(path: str) -> list[FieldSpec]:
             if not parts:
                 continue
             if len(parts) < 2:
-                raise ValueError(f"READING VARLIST FILE {path}: bad line {line!r}")
+                # input_data.F90:1189: error_handler("READING VARLIST FILE")
+                raise FatalError(f"READING VARLIST FILE: bad line {line!r}")
             specs.append(FieldSpec(in_name=parts[0], out_name=parts[1]))
     return specs
 

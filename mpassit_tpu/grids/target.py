@@ -164,12 +164,22 @@ def target_grid_from_file(path: str, cfg=None) -> TargetGrid:
     Also back-fills cfg's projection attributes from the file's global
     attributes (the reference mutates program_setup module vars in place).
     """
+    from ..errors import FatalError, netcdf_guard
     from ..io.nc4 import NetCDF4File
 
-    with NetCDF4File(path, "r") as f:
-        nx = f.dim_size("west_east")
-        ny = f.dim_size("south_north")
-        dx = float(f.get_attr("DX"))
+    # model_grid.F90:1231: error_handler("OPENING WRF INPUT FILE", ...)
+    try:
+        f = NetCDF4File(path, "r")
+    except (OSError, FileNotFoundError) as e:
+        raise FatalError("OPENING WRF INPUT FILE") from e
+    with f:
+        # model_grid.F90:1236-1254: netcdf_err per dim/attr read
+        with netcdf_guard("reading west_east id"):
+            nx = f.dim_size("west_east")
+        with netcdf_guard("reading south_north id"):
+            ny = f.dim_size("south_north")
+        with netcdf_guard("reading dx"):
+            dx = float(f.get_attr("DX"))
         attrs = {
             k: f.get_attr(k, None)
             for k in (
@@ -186,7 +196,11 @@ def target_grid_from_file(path: str, cfg=None) -> TargetGrid:
                     if a.ndim == 3:   # (Time, sn, we)
                         a = a[0]
                     return a
-            raise KeyError(f"none of {names} in {path}")
+            from ..errors import NetCDFError
+
+            # model_grid.F90:1364+ netcdf_err 'reading <var> id'
+            raise NetCDFError(f"reading {names[0]} id",
+                              "NetCDF: Variable not found")
 
         g = TargetGrid(nx=nx, ny=ny, proj_code=proj_code)
         g.lat = rd("XLAT", "XLAT_M")

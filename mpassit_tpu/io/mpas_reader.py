@@ -15,6 +15,7 @@ import dataclasses
 
 import numpy as np
 
+from ..errors import NetCDFError, netcdf_guard
 from ..fields.registry import FieldSpec, Routing, U_VAR, V_VAR
 from .nc4 import open_dataset
 
@@ -43,14 +44,30 @@ class InputData:
     v: np.ndarray = None
 
 
+def _open(path: str):
+    """nf90_open with the reference's error context
+    (input_data.F90:146,340: netcdf_err 'opening: <file>')."""
+    with netcdf_guard(f"opening: {path}"):
+        return open_dataset(path)
+
+
 def _read_field(f, name: str):
-    a = np.asarray(f.read_var(name), dtype=np.float64)
-    if a.ndim >= 1 and f.var_dims(name) and f.var_dims(name)[0] == "Time":
-        a = a[0]
-    return a
+    # input_data.F90:184: netcdf_err 'reading field id - <vname>' when the
+    # varlist entry is absent from the file
+    if not f.has_var(name):
+        raise NetCDFError(f"reading field id - {name}",
+                          "NetCDF: Variable not found")
+    with netcdf_guard(f"reading field - {name}"):
+        a = np.asarray(f.read_var(name), dtype=np.float64)
+        if a.ndim >= 1 and f.var_dims(name) and f.var_dims(name)[0] == "Time":
+            a = a[0]
+        return a
 
 
 def _xtime(f) -> str:
+    # input_data.F90:255: netcdf_err 'reading xtime id'
+    if not f.has_var("xtime"):
+        raise NetCDFError("reading xtime id", "NetCDF: Variable not found")
     raw = np.asarray(f.read_var("xtime"))
     if raw.ndim == 2:
         raw = raw[0]
@@ -64,7 +81,7 @@ def _xtime(f) -> str:
 def read_diag_data(path: str, routing: Routing, data: InputData,
                    interp_hist: bool) -> None:
     """read_input_diag_data (input_data.F90:123-264)."""
-    with open_dataset(path) as f:
+    with _open(path) as f:
         for spec in routing.diag:
             a = _read_field(f, spec.in_name)
             data.fields[spec.in_name] = a
@@ -73,7 +90,9 @@ def read_diag_data(path: str, routing: Routing, data: InputData,
             data.long_name[spec.in_name] = attrs.get("long_name", "")
         st = f.get_attr("config_start_time", None)
         if st is None and not interp_hist:
-            raise KeyError(f"config_start_time missing in {path}")
+            # input_data.F90:227: netcdf_err 'reading config_start_time'
+            raise NetCDFError("reading config_start_time",
+                              "NetCDF: Attribute not found")
         if st is not None:
             data.start_time = str(st).rstrip("\x00")
         dt = f.get_attr("config_dt", None)
@@ -88,7 +107,7 @@ def read_diag_data(path: str, routing: Routing, data: InputData,
 
 def read_hist_data(path: str, routing: Routing, data: InputData) -> None:
     """read_input_hist_data (input_data.F90:316-812)."""
-    with open_dataset(path) as f:
+    with _open(path) as f:
         att = f.get_attr("config_lsm_scheme", None)
         data.lsm_scheme = LSM_CODES.get(str(att).strip(), 0) if att else 0
         att = f.get_attr("config_microp_scheme", None)
@@ -96,7 +115,8 @@ def read_hist_data(path: str, routing: Routing, data: InputData) -> None:
         att = f.get_attr("config_convection_scheme", None)
         data.conv_scheme = CONV_CODES.get(str(att).strip(), 0) if att else 0
         # start time is REQUIRED from the hist file (input_data.F90:357-359)
-        data.start_time = str(f.get_attr("config_start_time")).rstrip("\x00")
+        with netcdf_guard("reading config_start_time"):
+            data.start_time = str(f.get_attr("config_start_time")).rstrip("\x00")
         dt = f.get_attr("config_dt", None)
         if dt is not None:
             data.config_dt = float(dt)

@@ -144,23 +144,38 @@ def cells_on_vertex_from_regions(vertices_on_cell: np.ndarray, nvertices: int):
 def mesh_from_file(path: str) -> MPASMesh:
     """define_input_grid's reads (model_grid.F90:285-419), minus the
     MPI decomposition (device sharding replaces it)."""
+    from ..errors import FatalError, netcdf_guard
     from ..io.nc4 import open_dataset
 
-    with open_dataset(path) as f:
-        ncells = f.dim_size("nCells")
-        nvertices = f.dim_size("nVertices")
-        nz = f.dim_size("nVertLevels")
-        nzp1 = f.dim_size("nVertLevelsP1")
-        max_edges = f.dim_size("maxEdges")
-        nsoil = f.dim_size("nSoilLevels") if f.has_dim("nSoilLevels") else 0
+    # model_grid.F90:288: error_handler("OPENING MPAS INPUT FILE", ...)
+    try:
+        f = open_dataset(path)
+    except (OSError, FileNotFoundError) as e:
+        raise FatalError("OPENING MPAS INPUT FILE") from e
+    with f:
+        # model_grid.F90:293-339: netcdf_err 'reading <dim> id' per dim
+        def dim(name):
+            with netcdf_guard(f"reading {name} id"):
+                return f.dim_size(name)
 
-        lat_cell = np.asarray(f.read_var("latCell"), dtype=np.float64) * DEG_PER_RAD
-        lon_cell = _wrap_deg(f.read_var("lonCell"))
-        lat_vertex = np.asarray(f.read_var("latVertex"), dtype=np.float64) * DEG_PER_RAD
-        lon_vertex = _wrap_deg(f.read_var("lonVertex"))
+        ncells = dim("nCells")
+        nvertices = dim("nVertices")
+        nz = dim("nVertLevels")
+        nzp1 = dim("nVertLevelsP1")
+        max_edges = dim("maxEdges")
+        nsoil = dim("nSoilLevels") if f.has_dim("nSoilLevels") else 0
+
+        def var(name):
+            with netcdf_guard(f"reading {name} id"):
+                return f.read_var(name)
+
+        lat_cell = np.asarray(var("latCell"), dtype=np.float64) * DEG_PER_RAD
+        lon_cell = _wrap_deg(var("lonCell"))
+        lat_vertex = np.asarray(var("latVertex"), dtype=np.float64) * DEG_PER_RAD
+        lon_vertex = _wrap_deg(var("lonVertex"))
 
         # file layout (maxEdges, nCells) Fortran = (nCells, maxEdges) C
-        voc = np.asarray(f.read_var("verticesOnCell"), dtype=np.int64)
+        voc = np.asarray(var("verticesOnCell"), dtype=np.int64)
         if voc.shape == (max_edges, ncells):
             voc = voc.T
         voc = voc.astype(np.int64) - 1  # 1-based, 0 = pad -> -1

@@ -206,7 +206,10 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
     routing = build_routing(cfg.varlist_dir, cfg.interp_diag,
                             cfg.interp_hist, cfg.wrf_mod_vars)
     if not cfg.interp_diag and not cfg.interp_hist:
-        raise ValueError(
+        # input_data.F90:114 error_handler message, verbatim
+        from ..errors import FatalError
+
+        raise FatalError(
             "SET INTERP_DIAG AND/OR INTERP_HIST TO TRUE TO OBTAIN OUTPUT")
 
     data = InputData()
@@ -223,6 +226,26 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         from ..parallel.decomp import read_block_decomp_file
 
         read_block_decomp_file(cfg.block_decomp_file, mesh.ncells)
+
+    # Input/grid dim consistency: a field sized for a different mesh would
+    # silently misindex the weight apply (the reference hits an ESMF
+    # scatter-shape abort instead; utils.F90:16-33 fail-fast contract).
+    from ..errors import FatalError
+
+    for name, arr in data.fields.items():
+        n_expect = (mesh.nvertices
+                    if any(s.in_name == name for s in routing.vert_3d)
+                    else mesh.ncells)
+        if arr.shape[0] != n_expect:
+            raise FatalError(
+                f"FIELD {name} HAS {arr.shape[0]} CELLS BUT THE MPAS GRID "
+                f"FILE HAS {n_expect}")
+    for wname, warr in (("uReconstructZonal", data.u),
+                        ("uReconstructMeridional", data.v)):
+        if warr is not None and warr.shape[0] != mesh.ncells:
+            raise FatalError(
+                f"FIELD {wname} HAS {warr.shape[0]} CELLS BUT THE MPAS GRID "
+                f"FILE HAS {mesh.ncells}")
 
     with _Timer(timings, "weight_generation"):
         weights = build_weights(cfg, mesh, grid, routing)
@@ -333,12 +356,23 @@ def main(argv=None) -> int:
     from ..parallel.multihost import maybe_init_distributed
 
     maybe_init_distributed()
-    cfg = Config.from_namelist(nml)
-    # esmf_log maps to verbose logging (the reference's ESMF PET error logs,
-    # program_setup.F90:139-143)
-    logging.basicConfig(
-        level=logging.DEBUG if cfg.esmf_log else logging.INFO,
-        format="%(message)s")
-    run_pipeline(cfg)
+    from ..errors import FatalError
+
+    try:
+        # mpassit.F90:55-65: abort when the namelist path does not exist
+        if not os.path.exists(nml):
+            raise FatalError(f"namelist file - {nml} does not exist.")
+        cfg = Config.from_namelist(nml)
+        # esmf_log maps to verbose logging (the reference's ESMF PET error
+        # logs, program_setup.F90:139-143)
+        logging.basicConfig(
+            level=logging.DEBUG if cfg.esmf_log else logging.INFO,
+            format="%(message)s")
+        run_pipeline(cfg)
+    except FatalError as e:
+        # error_handler/netcdf_err banner + abort (utils.F90:16-58); exit
+        # code 999 truncates to 231 like mpi_abort's shell status
+        print(e.banner(), file=sys.stderr)
+        return 999 & 0xFF
     log.info("- DONE.")
     return 0
