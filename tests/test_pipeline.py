@@ -175,11 +175,14 @@ def test_field_values_smooth(full_run):
     mesh, cfg, art, hist_fields, diag_fields = full_run
     g = art.grid
     ref2 = smooth(g.lat, g.lon)
+    # bilinear interpolation of a smooth field carries O(h^2) error; the
+    # measured constant is ~0.4*amp*h^2, so amp*h^2 is a tight 2.5x margin
+    h2 = mesh.mean_cell_spacing_rad() ** 2
     with open_dataset(cfg.output_file) as f:
         t2 = f.read_var("T2")[0]
-        np.testing.assert_allclose(t2, 280.0 + 5 * ref2, atol=0.15)
+        np.testing.assert_allclose(t2, 280.0 + 5 * ref2, atol=5 * h2)
         tsk = f.read_var("TSK")[0]
-        np.testing.assert_allclose(tsk, 285.0 + 5 * ref2, atol=0.15)
+        np.testing.assert_allclose(tsk, 285.0 + 5 * ref2, atol=5 * h2)
         # nearest: categorical values preserved exactly
         xland = f.read_var("XLAND")[0]
         assert set(np.unique(xland)) <= {1.0, 2.0}
@@ -190,10 +193,10 @@ def test_field_values_smooth(full_run):
         # 3-D diag var on nz levels
         refl = f.read_var("REFL_10CM")[0]
         assert refl.shape == (mesh.nz, g.ny, g.nx)
-        np.testing.assert_allclose(refl[0], 20.0 + ref2, atol=0.15)
+        np.testing.assert_allclose(refl[0], 20.0 + ref2, atol=h2)
         # vertex-located field
         vort = f.read_var("VORT")[0]
-        np.testing.assert_allclose(vort[0], 1e-4 * ref2, atol=1e-5)
+        np.testing.assert_allclose(vort[0], 1e-4 * ref2, atol=1e-4 * h2)
         # soil: quirk Q3 — soil regridded NEAREST (values are exact samples)
         tslb = f.read_var("TSLB")[0]
         vals = np.unique(np.round(tslb[0].reshape(-1), 10))
@@ -207,8 +210,9 @@ def test_wrf_mod_transforms(full_run):
     with open_dataset(cfg.output_file) as f:
         # T = theta - 300 (quirk Q7)
         ref2 = smooth(g.lat, g.lon)
+        h2 = mesh.mean_cell_spacing_rad() ** 2
         t = f.read_var("T")[0]
-        np.testing.assert_allclose(t[0], 10.0 * ref2, atol=0.3)
+        np.testing.assert_allclose(t[0], 10.0 * ref2, atol=10 * h2)
         # MU, PH, P all zero
         assert (f.read_var("MU") == 0).all()
         assert (f.read_var("PH") == 0).all()
