@@ -43,6 +43,7 @@ from ..weights.cache import WeightCache, grid_fingerprint
 from ..weights.conservative import conservative_weights
 from ..weights.ell import ELLWeights
 from ..weights.nearest import nearest_weights
+from ..weights.restagger import edge1_weights, edge2_weights
 
 log = logging.getLogger("mpassit_tpu")
 
@@ -93,16 +94,18 @@ def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
     return res
 
 
-def restagger_u(mass):
-    """(ny, nx, nz) mass -> (ny, nx+1, nz) EDGE1 by midpoint interpolation;
-    boundary columns are outside the mass grid -> unmapped zeros (Q6)."""
+def restagger_u_midpoint(mass):
+    """(ny, nx, nz) mass -> (ny, nx+1, nz) EDGE1 by index-space midpoints.
+    Kept as the cheap approximation the weight-based restagger is measured
+    against (tests/test_restagger.py quantifies the deviation); production
+    uses the edge1/edge2 ELL operators (weights/restagger.py)."""
     ny, nx = mass.shape[:2]
     out = np.zeros((ny, nx + 1) + mass.shape[2:], dtype=mass.dtype)
     out[:, 1:nx] = 0.5 * (mass[:, :-1] + mass[:, 1:])
     return out
 
 
-def restagger_v(mass):
+def restagger_v_midpoint(mass):
     ny, nx = mass.shape[:2]
     out = np.zeros((ny + 1, nx) + mass.shape[2:], dtype=mass.dtype)
     out[1:ny, :] = 0.5 * (mass[:-1, :] + mass[1:, :])
@@ -182,6 +185,12 @@ def build_weights(cfg: Config, mesh: MPASMesh, grid: TargetGrid,
     if routing.vert_3d:
         out["vertex"] = get(
             "vertex", lambda: bilinear_vertex_weights(mesh, grid.lat, grid.lon))
+    # center -> edge-stagger spherical bilinear (interp.F90:295-328);
+    # depends only on the target grid (mesh_fp kept for a uniform key layout)
+    if routing.do_u:
+        out["edge1"] = get("edge1", lambda: edge1_weights(grid))
+    if routing.do_v:
+        out["edge2"] = get("edge2", lambda: edge2_weights(grid))
     return out
 
 
@@ -316,10 +325,14 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                                     jnp.asarray(grid.cosa, dtype=dtype),
                                     jnp.asarray(grid.sina, dtype=dtype))
                 umass, vmass = np.asarray(u), np.asarray(v)
+            # center -> EDGE1/EDGE2 spherical bilinear regrid (quirk Q6,
+            # interp.F90:295-328) through the same apply engines
             if routing.do_u:
-                res.u = restagger_u(umass)
+                res.u = rgs["edge1"].apply_np(
+                    umass.reshape(grid.n_points, -1))
             if routing.do_v:
-                res.v = restagger_v(vmass)
+                res.v = rgs["edge2"].apply_np(
+                    vmass.reshape(grid.n_points, -1))
 
         # hgt always regridded when hist (interp.F90:226-238); the target
         # HGT ('file' path) is available but the reference overwrites it
