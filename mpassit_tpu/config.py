@@ -181,6 +181,14 @@ class Config:
     #: output, CMakeLists.txt:80) or "split_bf16" (one MXU pass, ~1e-5 rel
     #: err) for users who opt into speed over strict allclose parity.
     apply_precision: str = "highest"
+    #: source-field placement across devices (the reference's route-handle
+    #: halo exchange, interp.F90:123-134): "replicate" keeps the source on
+    #: every device (zero collectives on the hot path), "allgather" shards
+    #: it and assembles the halo with one all_gather inside shard_map,
+    #: "ring" rotates source blocks with ppermute (peak memory = one block
+    #: per device — the multi-host / huge-mesh configuration). Only
+    #: meaningful with n_device_shards != 0.
+    source_decomp: str = "replicate"
 
     # --- derived (program_setup.F90:60-71) ----------------------------------
     dxkm: float = NAN
@@ -213,6 +221,9 @@ class Config:
 
     # program_setup.F90:145-245
     def finalize(self, check_files: bool = True) -> None:
+        if self.source_decomp not in ("replicate", "allgather", "ring"):
+            raise ConfigError(
+                'source_decomp must be "replicate", "allgather", or "ring"')
         if check_files and self.block_decomp_file != "NULL":
             if not os.path.exists(self.block_decomp_file):
                 raise ConfigError("block_decomp_file DOES NOT EXIST.")

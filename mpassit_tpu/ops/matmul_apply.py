@@ -241,8 +241,10 @@ class SlabMatmulRegridder:
             self._tile_sharding = NamedSharding(mesh, P(axis, None))
             self._tile3_sharding = NamedSharding(mesh, P(axis, None, None))
             self._src_sharding = NamedSharding(mesh, P())
-            self.slab_idx = jax.device_put(
-                jnp.asarray(slab_idx), self._tile_sharding)
+            # device_put the HOST array directly: placing an already
+            # device-committed array onto a cross-process sharding is not
+            # multi-controller safe
+            self.slab_idx = jax.device_put(slab_idx, self._tile_sharding)
             build = jax.jit(
                 _build_A_T, static_argnames=("n_tiles", "w_width"),
                 out_shardings=self._tile3_sharding)
@@ -314,12 +316,17 @@ class SlabMatmulRegridder:
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         ny, nx = self.dst_shape
         out = np.empty((ny, nx, C), np.float32)
+        from ..parallel.multihost import fetch_to_host
+
         for lo in range(0, C, CB):
             o = _tile_matmul(
                 self.A, jax.lax.dynamic_slice_in_dim(slab, lo, CB, axis=2),
                 precision=self.precision)
             o = _unblock(o[: self.n_tiles_data], self.nty, self.ntx)
             cb_eff = min(CB, C - lo)
-            out[:, :, lo:lo + cb_eff] = np.asarray(
+            # multi-controller: the tile-sharded chunk spans processes, so
+            # the host fetch is a gather-to-all (fetch_to_host), the
+            # FieldGather analog of write_data.F90:1006
+            out[:, :, lo:lo + cb_eff] = fetch_to_host(
                 o[:ny, :nx, :cb_eff])
         return out[:, :, 0] if squeeze else out

@@ -73,3 +73,22 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def fetch_to_host(x):
+    """Bring a (possibly cross-process sharded) jax.Array to a host numpy
+    array on EVERY process — the ESMF_FieldGather analog
+    (write_data.F90:1006), except gather-to-all so each process can keep
+    executing the identical SPMD program; process 0 alone writes the file.
+
+    np.asarray on a multi-process sharded array raises (non-addressable
+    shards); process_allgather assembles it over the collective fabric."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

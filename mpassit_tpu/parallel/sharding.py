@@ -78,7 +78,111 @@ class ShardedRegridder:
         return out.reshape(self.dst_shape + (src.shape[1],))
 
     def apply_np(self, src):
-        return np.asarray(self(src))
+        from .multihost import fetch_to_host
+
+        return fetch_to_host(self(src))
+
+
+def _ring_local(idx_blk, w_blk, src_blk, *, n_dev):
+    """shard_map body for the ring exchange (see ring_apply)."""
+    blk = src_blk.shape[0]
+    dev = jax.lax.axis_index(GRID_AXIS)
+
+    def step(s, carry):
+        out, blk_data = carry
+        owner = (dev + s) % n_dev
+        offset = owner * blk
+        loc = idx_blk - offset
+        in_blk = (loc >= 0) & (loc < blk)
+        locc = jnp.clip(loc, 0, blk - 1)
+        gathered = jnp.take(blk_data, locc, axis=0)       # (T_loc, K, C)
+        wm = jnp.where(in_blk, w_blk, 0)
+        out = out + jnp.einsum("tk,tkc->tc", wm, gathered,
+                               preferred_element_type=out.dtype)
+        nxt = jax.lax.ppermute(
+            blk_data, GRID_AXIS,
+            perm=[(i, (i - 1) % n_dev) for i in range(n_dev)])
+        return out, nxt
+
+    out0 = jax.lax.pcast(
+        jnp.zeros((idx_blk.shape[0], src_blk.shape[1]), dtype=src_blk.dtype),
+        (GRID_AXIS,), to="varying")
+    out, _ = jax.lax.fori_loop(0, n_dev, step, (out0, src_blk))
+    return out
+
+
+def _allgather_local(idx_blk, w_blk, src_blk):
+    """shard_map body for the all_gather halo (see shard_map_apply)."""
+    full_src = jax.lax.all_gather(src_blk, GRID_AXIS, axis=0, tiled=True)
+    return apply_ell(idx_blk, w_blk, full_src)
+
+
+class SourceShardedRegridder:
+    """ELL apply with BOTH the source rows and the target rows sharded over
+    the device mesh — the production form of the reference's route-handle
+    halo exchange (interp.F90:123-134) for meshes too large to replicate.
+
+    comm="ring": source blocks rotate around the device ring via ppermute,
+    each device accumulating masked partial applies; peak memory is one
+    source block per device. comm="allgather": the full source is
+    assembled over ICI inside shard_map before one local apply (faster when
+    the source fits, one collective instead of n_dev).
+
+    Multi-controller safe: inputs are placed with jax.device_put of host
+    numpy onto cross-process NamedShardings, and apply_np returns the
+    gathered result on every process (parallel/multihost.fetch_to_host).
+    Columns are padded to CB so every bundle size reuses one compiled
+    shard_map per (n_src, K) operator."""
+
+    CB = 256
+
+    def __init__(self, ell: ELLWeights, mesh: Mesh, dtype=jnp.float32,
+                 comm: str = "ring"):
+        if comm not in ("ring", "allgather"):
+            raise ValueError(f"unknown comm {comm!r}")
+        self.mesh = mesh
+        self.comm = comm
+        self.dtype = dtype
+        self.dst_shape = tuple(ell.dst_shape)
+        self.n_dst = ell.idx.shape[0]
+        self.n_src = ell.n_src
+        self.n_dev = n_dev = mesh.devices.size
+        rows = NamedSharding(mesh, P(GRID_AXIS, None))
+        self.idx = jax.device_put(_pad_rows(ell.idx.astype(np.int32), n_dev),
+                                  rows)
+        self.w = jax.device_put(
+            _pad_rows(ell.w.astype(np.dtype(dtype)), n_dev), rows)
+        self._src_sharding = rows
+        body = (partial(_ring_local, n_dev=n_dev) if comm == "ring"
+                else _allgather_local)
+        self._fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(GRID_AXIS, None), P(GRID_AXIS, None),
+                      P(GRID_AXIS, None)),
+            out_specs=P(GRID_AXIS, None)))
+
+    def __call__(self, src):
+        src = np.asarray(src, dtype=np.dtype(self.dtype))
+        squeeze = src.ndim == 1
+        if squeeze:
+            src = src[:, None]
+        C = src.shape[1]
+        cpad = (-C) % self.CB
+        if cpad:
+            src = np.pad(src, ((0, 0), (0, cpad)))
+        src_p = _pad_rows(src, self.n_dev)
+        src_d = jax.device_put(src_p, self._src_sharding)
+        out = self._fn(self.idx, self.w, src_d)[: self.n_dst, :C]
+        return out[:, 0] if squeeze else out
+
+    def apply_np(self, src):
+        from .multihost import fetch_to_host
+
+        src = np.asarray(src)
+        out = fetch_to_host(self(src))
+        if src.ndim == 1:
+            return out.reshape(self.dst_shape)
+        return out.reshape(self.dst_shape + (src.shape[1],))
 
 
 def ring_apply(ell: ELLWeights, mesh: Mesh, src, dtype=jnp.float32):

@@ -113,11 +113,19 @@ def restagger_v_midpoint(mass):
 
 
 def _make_regridder(ell: ELLWeights, dtype, mesh=None,
-                    precision="highest"):
+                    precision="highest", source_decomp="replicate"):
     """Pick the apply engine: the MXU slab-matmul fast path for f32 2-D
     grids (ops/matmul_apply), falling back to the plain gather Regridder
     for f64 runs, 1-D targets, or pathological tiles. With ``mesh``
-    (n_device_shards > 1), the operator is sharded across devices."""
+    (n_device_shards > 1), the operator is sharded across devices; with
+    source_decomp="ring"/"allgather" the SOURCE is sharded too and the
+    halo exchanged over ICI (the reference's route-handle comm,
+    interp.F90:123-134) — the memory-bounded multi-host configuration."""
+    if mesh is not None and source_decomp != "replicate":
+        from ..parallel.sharding import SourceShardedRegridder
+
+        return SourceShardedRegridder(ell, mesh, dtype=dtype,
+                                      comm=source_decomp)
     if dtype == jnp.float32 and len(ell.dst_shape) == 2:
         try:
             from ..ops.matmul_apply import SlabMatmulRegridder
@@ -260,7 +268,8 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         weights = build_weights(cfg, mesh, grid, routing)
         dev_mesh = _device_mesh(cfg)
         rgs = {k: _make_regridder(v, dtype, mesh=dev_mesh,
-                                  precision=cfg.apply_precision)
+                                  precision=cfg.apply_precision,
+                                  source_decomp=cfg.source_decomp)
                for k, v in weights.items()}
 
     res = RegridResult(nz=mesh.nz, nzp1=mesh.nzp1, nsoil=mesh.nsoil)

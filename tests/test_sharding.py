@@ -84,6 +84,52 @@ def test_pipeline_with_device_shards(tmp_path):
     np.testing.assert_allclose(t2, ref_t2, rtol=1e-6)
 
 
+@pytest.mark.parametrize("comm", ["ring", "allgather"])
+def test_source_sharded_regridder_matches(small_mesh, ell, comm):
+    """The production source-sharded engine (both source and target rows
+    sharded, halo over the mesh) == unsharded apply."""
+    from mpassit_tpu.parallel.sharding import SourceShardedRegridder
+
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(9)
+    src = rng.standard_normal((small_mesh.ncells, 5))
+    ref = Regridder(ell, dtype=jnp.float64).apply_np(src)
+    rg = SourceShardedRegridder(ell, mesh, dtype=jnp.float64, comm=comm)
+    out = rg.apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-13)
+    out1 = rg.apply_np(src[:, 0])
+    np.testing.assert_allclose(out1, ref[..., 0], rtol=1e-13, atol=1e-13)
+
+
+def test_pipeline_source_decomp_ring(tmp_path):
+    """Full pipeline with the source-sharded ring path selected from the
+    namelist (source_decomp='ring', n_device_shards=-1) == replicated run."""
+    import jax.numpy as jnp
+
+    from mpassit_tpu.parallel.sharding import SourceShardedRegridder
+    from mpassit_tpu.run.pipeline import run_pipeline
+    from test_pipeline import make_case
+
+    mesh, cfg, hist_fields, diag_fields = make_case(tmp_path, ncells=900,
+                                                    nx=17, ny=13)
+    art_ref = run_pipeline(cfg, dtype=jnp.float64)
+
+    cfg.n_device_shards = -1
+    cfg.source_decomp = "ring"
+    cfg.output_file = str(tmp_path / "out_ring.nc")
+    art = run_pipeline(cfg, dtype=jnp.float64)
+    assert all(isinstance(r, SourceShardedRegridder)
+               for r in art.regridders.values())
+    for (na, a, *_), (nb, b, *_) in zip(
+            art.result.diag2d + art.result.nz3d,
+            art_ref.result.diag2d + art_ref.result.nz3d):
+        assert na == nb
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12,
+                                   err_msg=na)
+    np.testing.assert_allclose(art.result.u, art_ref.result.u,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_ring_apply_matches(small_mesh, ell):
     """Ring ppermute halo apply == unsharded apply (f64 bit-parity per row
     requires same contraction order; the ring accumulates per-block partials,
