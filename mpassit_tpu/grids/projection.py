@@ -18,6 +18,12 @@ Supported projections:
   Gaussian (``:1901-2214``). Note the reference has NO inverse (ij->latlon)
   for Gaussian — its ij_to_latlon aborts on PROJ_GAUSS — we provide one by
   interpolating the Gaussian latitudes (a conscious extension).
+
+PROJ_ROTLL (the NMM E-grid rotated lat-lon, ``:1660-1900``) is deliberately
+excluded: it is unreachable through MPASSIT — the target-file reader
+requires ARW C-grid coordinate fields (XLAT_U/XLAT_V,
+``model_grid.F90:1399-1460``) that NMM E-grid files do not carry, and the
+namelist path never offers it (``program_setup.F90:169-192``).
 """
 
 from __future__ import annotations

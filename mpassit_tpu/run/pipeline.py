@@ -68,6 +68,16 @@ class _Timer:
         log.info("- %s: %.3fs", self.name, self.t.stages[self.name])
 
 
+def _nan_guard(name: str, arr) -> None:
+    """MPASSIT_DEBUG_NANS=1: per-field invalid-value trap (the reference's
+    -ffpe-trap debug-build analog, CMakeLists.txt:36)."""
+    if os.environ.get("MPASSIT_DEBUG_NANS") == "1" and not np.isfinite(
+            arr).all():
+        from ..errors import FatalError
+
+        raise FatalError(f"NON-FINITE VALUES IN REGRIDDED FIELD {name}")
+
+
 def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
                  dtype=np.float32):
     """Bundle amortization: stack same-category fields into one (n_src, C)
@@ -77,11 +87,14 @@ def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
     if ndim == 2:
         src = np.stack([data.fields[s.in_name] for s in specs], axis=1)
         out = rg.apply_np(src.astype(dtype))
-        return [
+        res = [
             (s.out_name, out[..., i], data.units[s.in_name],
              data.long_name[s.in_name])
             for i, s in enumerate(specs)
         ]
+        for name, arr, *_ in res:
+            _nan_guard(name, arr)
+        return res
     # 3-D: each field (n_src, nlev); concat along columns
     nlevs = [data.fields[s.in_name].shape[1] for s in specs]
     src = np.concatenate([data.fields[s.in_name] for s in specs], axis=1)
@@ -91,6 +104,8 @@ def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
         res.append((s.out_name, out[..., off:off + nl],
                     data.units[s.in_name], data.long_name[s.in_name]))
         off += nl
+    for name, arr, *_ in res:
+        _nan_guard(name, arr)
     return res
 
 
@@ -205,6 +220,12 @@ def build_weights(cfg: Config, mesh: MPASMesh, grid: TargetGrid,
 def run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
     import contextlib
 
+    # SURVEY §5 sanitizer row: the reference's debug builds trap FP
+    # exceptions (-ffpe-trap=invalid,zero,overflow, CMakeLists.txt:36);
+    # MPASSIT_DEBUG_NANS=1 arms jax_debug_nans (every jitted op re-checked)
+    # plus the host-side per-field guard in _stack_apply below.
+    if os.environ.get("MPASSIT_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
     # SURVEY §5 tracing row: opt-in jax.profiler trace of the whole run
     prof_dir = os.environ.get("MPASSIT_PROFILE")
     profile_cm = (jax.profiler.trace(prof_dir) if prof_dir
@@ -345,7 +366,11 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
 
         # hgt always regridded when hist (interp.F90:226-238); the target
         # HGT ('file' path) is available but the reference overwrites it
-        # with the mesh 'ter' regrid
+        # with the mesh 'ter' regrid.
+        # CONSCIOUS DEVIATION (documented): for diag-only runs without a
+        # target-file HGT the reference would write an UNINITIALIZED field
+        # (its hgt regrid runs only under interp_hist); we regrid mesh
+        # 'ter' instead of emitting garbage.
         if cfg.interp_hist:
             res.hgt = rgs["bilinear"].apply_np(mesh.ter.astype(np_dtype))
         elif grid.hgt is not None:

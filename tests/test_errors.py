@@ -116,6 +116,36 @@ def test_mesh_size_mismatch(tmp_path):
         run_pipeline(cfg)
 
 
+def test_nan_guard(tmp_path, monkeypatch):
+    """MPASSIT_DEBUG_NANS=1 traps non-finite regridded fields (the
+    reference debug-build -ffpe-trap analog, CMakeLists.txt:36)."""
+    import jax.numpy as jnp
+
+    mesh, cfg, _, _ = make_case(tmp_path, ncells=400, nx=9, ny=7,
+                                interp_hist=False, wrf_mod_vars=False)
+    # poison one diag input field
+    from mpassit_tpu.io.nc4 import NetCDF4File
+
+    import h5py
+
+    with h5py.File(cfg.diag_file_input_grid, "r+") as f:
+        a = f["t2m"][...]
+        a[...] = np.nan      # poison every cell so any mapped target hits it
+        f["t2m"][...] = a
+    monkeypatch.setenv("MPASSIT_DEBUG_NANS", "1")
+    # either trap is acceptable: jax_debug_nans fires inside the jitted
+    # apply (FloatingPointError), the host guard fires after (FatalError)
+    with pytest.raises((FatalError, FloatingPointError),
+                       match="NON-FINITE VALUES|nan"):
+        run_pipeline(cfg, dtype=jnp.float64)
+    monkeypatch.delenv("MPASSIT_DEBUG_NANS")
+    # without the flag the run completes (quirk Q5 spirit: garbage passes)
+    import jax
+
+    jax.config.update("jax_debug_nans", False)
+    run_pipeline(cfg, dtype=jnp.float64)
+
+
 def test_config_error_is_fatal():
     assert issubclass(ConfigError, FatalError)
     with pytest.raises(FatalError, match="invalid target_grid_type"):
