@@ -189,6 +189,12 @@ class Config:
     #: per device — the multi-host / huge-mesh configuration). Only
     #: meaningful with n_device_shards != 0.
     source_decomp: str = "replicate"
+    #: cell renumbering for HBM gather coherence — the locality analog of
+    #: the reference's METIS block_decomp_file (model_grid.F90:2367-2426):
+    #: "morton" (default) orders source cells along a Z-curve over the
+    #: target grid's index space so each 32x32 target tile's slab gather
+    #: reads a compact span of source rows; "none" keeps file order.
+    cell_order: str = "morton"
 
     # --- derived (program_setup.F90:60-71) ----------------------------------
     dxkm: float = NAN
@@ -224,6 +230,8 @@ class Config:
         if self.source_decomp not in ("replicate", "allgather", "ring"):
             raise ConfigError(
                 'source_decomp must be "replicate", "allgather", or "ring"')
+        if self.cell_order not in ("morton", "none"):
+            raise ConfigError('cell_order must be "morton" or "none"')
         if check_files and self.block_decomp_file != "NULL":
             if not os.path.exists(self.block_decomp_file):
                 raise ConfigError("block_decomp_file DOES NOT EXIST.")

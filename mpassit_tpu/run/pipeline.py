@@ -285,6 +285,32 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                 f"FIELD {wname} HAS {warr.shape[0]} CELLS BUT THE MPAS GRID "
                 f"FILE HAS {mesh.ncells}")
 
+    # cell_order='morton': renumber source cells along a Z-curve over the
+    # target's index space BEFORE weight generation, so each target tile's
+    # slab gather reads a compact HBM span (the locality role of the
+    # reference's METIS decomposition, model_grid.F90:2367-2426). Fields
+    # already read are permuted into the new numbering; vertex-located
+    # fields keep their (unchanged) vertex numbering. Weights are generated
+    # on the renumbered mesh, so results are unchanged (tests pin this).
+    if cfg.cell_order == "morton":
+        from ..mesh.reorder import (
+            apply_perm,
+            reorder_cells_by_latitude,
+            reorder_cells_morton,
+        )
+
+        ro = (reorder_cells_morton(mesh, grid.proj)
+              if grid.proj is not None else reorder_cells_by_latitude(mesh))
+        mesh = ro.mesh
+        vert_names = {s.in_name for s in routing.vert_3d}
+        for k in list(data.fields):
+            if k not in vert_names:
+                data.fields[k] = apply_perm(data.fields[k], ro.perm)
+        if data.u is not None:
+            data.u = apply_perm(data.u, ro.perm)
+        if data.v is not None:
+            data.v = apply_perm(data.v, ro.perm)
+
     with _Timer(timings, "weight_generation"):
         weights = build_weights(cfg, mesh, grid, routing)
         dev_mesh = _device_mesh(cfg)

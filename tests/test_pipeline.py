@@ -255,11 +255,12 @@ def test_u10_rotation_applied(full_run):
     g = art.grid
     with open_dataset(cfg.output_file) as f:
         u10 = f.read_var("U10")[0]
-    # compare against manual: bilinear interp then rotate
+    # compare against manual: bilinear interp then rotate (art.data fields
+    # are in the pipeline's cell_order numbering, matching the regridders)
     from mpassit_tpu.ops.rotate import rotate_winds
     rg = art.regridders["bilinear"]
-    ui = rg.apply_np(diag_fields["u10"])
-    vi = rg.apply_np(diag_fields["v10"])
+    ui = rg.apply_np(art.data.fields["u10"])
+    vi = rg.apply_np(art.data.fields["v10"])
     ur, vr = rotate_winds(jnp.asarray(ui), jnp.asarray(vi),
                           jnp.asarray(g.cosa), jnp.asarray(g.sina))
     np.testing.assert_allclose(u10, np.asarray(ur, dtype=np.float32), rtol=1e-6)
@@ -281,6 +282,22 @@ def test_neither_flag_errors(tmp_path):
     cfg.interp_diag = cfg.interp_hist = False
     with pytest.raises(ValueError, match="INTERP_DIAG"):
         run_pipeline(cfg)
+
+
+def test_cell_order_none_matches_morton(tmp_path, full_run):
+    """cell_order='none' (file order) produces the same fields as the
+    default Morton renumbering — the reorder is locality-only."""
+    _, _, morton_art, _, _ = full_run
+    mesh, cfg, _, _ = make_case(tmp_path)
+    cfg.cell_order = "none"
+    art = run_pipeline(cfg, dtype=jnp.float64)
+    for (na, a, *_), (nb, b, *_) in zip(
+            art.result.diag2d + art.result.nz3d + art.result.cons2d,
+            morton_art.result.diag2d + morton_art.result.nz3d
+            + morton_art.result.cons2d):
+        assert na == nb
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12, err_msg=na)
+    np.testing.assert_allclose(art.result.u, morton_art.result.u, atol=1e-12)
 
 
 def test_interp_as_bundle_false_matches_bundle(tmp_path, full_run):
