@@ -149,10 +149,19 @@ class SlabMatmulRegridder:
     the multi-chip configuration: each chip gathers and multiplies only its
     own tiles, no collectives on the hot path (the reference's equivalent is
     the ESMF target-grid decomposition, model_grid.F90:687-703).
+
+    ``backend`` selects the apply engine: "pallas" = the fused Mosaic kernel
+    (ops/pallas_matmul.py — unblock + bf16 split fused, A VMEM-resident;
+    single-device only), "xla" = the portable dot_general path, "auto"
+    (default) = pallas on an unsharded TPU backend when the tile working set
+    fits VMEM, xla otherwise.
     """
 
     def __init__(self, ell, dtype=jnp.float32, precision: str = "highest",
-                 mesh=None):
+                 mesh=None, backend: str = "auto"):
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         if precision not in PRECISIONS:
             raise ValueError(f"precision must be one of {PRECISIONS}")
         self.precision = precision
@@ -266,6 +275,30 @@ class SlabMatmulRegridder:
             self.A = A.astype(dtype)
         self.duplication = n_tiles * W / max(ell.n_src, 1)
 
+    def _use_fused(self) -> bool:
+        """Route to the fused Pallas kernel? (single-device TPU only —
+        the sharded path stays on XLA so the tile axis can ride a
+        NamedSharding without a shard_map wrapper.)"""
+        if self.mesh is not None or self.backend == "xla":
+            return False
+        from .pallas_matmul import fused_available
+
+        if self.backend == "pallas":
+            return True
+        return (jax.default_backend() == "tpu"
+                and fused_available(self.W, self.precision))
+
+    def _fused_full(self, slab):
+        """(n_tiles, W, Cp) slab -> (nyp, nxp, Cp) via the Mosaic kernel.
+
+        Off-TPU (tests forcing backend="pallas") the kernel runs in
+        interpret mode — bit-identical semantics, Python-loop speed."""
+        from .pallas_matmul import fused_apply
+
+        return fused_apply(self.A, slab, nty=self.nty, ntx=self.ntx,
+                           precision=self.precision,
+                           interpret=jax.default_backend() != "tpu")
+
     def __call__(self, src_dev):
         """src (n_src, C) on device. Returns (nyp, nxp, C) device array."""
         if src_dev.ndim == 1:
@@ -286,6 +319,8 @@ class SlabMatmulRegridder:
         # slab (n_tiles, W, Cp) is sharded over tiles when a mesh is set
         # (indices sharded, source replicated).
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
+        if self._use_fused():
+            return self._fused_full(slab)[:, :, :C]
         outs = [
             _tile_matmul(self.A, slab[:, :, lo:lo + CB],
                          precision=self.precision)
@@ -317,6 +352,17 @@ class SlabMatmulRegridder:
         ny, nx = self.dst_shape
         out = np.empty((ny, nx, C), np.float32)
         from ..parallel.multihost import fetch_to_host
+
+        if self._use_fused():
+            # One kernel writes the final layout; fetch in CB strips so the
+            # host-bound crop copies stay small. Peak device residency is
+            # the (nyp, nxp, Cp) output (<=5 GB at the widest CONUS bundle).
+            out_full = self._fused_full(slab)
+            for lo in range(0, C, CB):
+                cb_eff = min(CB, C - lo)
+                out[:, :, lo:lo + cb_eff] = fetch_to_host(
+                    out_full[:ny, :nx, lo:lo + cb_eff])
+            return out[:, :, 0] if squeeze else out
 
         for lo in range(0, C, CB):
             o = _tile_matmul(

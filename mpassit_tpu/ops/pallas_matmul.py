@@ -1,0 +1,130 @@
+"""Fused MXU tile-matmul Pallas kernel: one-hot apply + unblock in one pass.
+
+This is the production TPU apply for SlabMatmulRegridder (the XLA path in
+matmul_apply.py remains the portable fallback and the multi-device
+shard_map building block). It computes, per 32x32 target tile t,
+
+    out[t]  (TILE x CB) = A[t]^T (W x TILE) @ slab[t] (W x CB)
+
+exactly like matmul_apply._tile_matmul, but removes three sources of HBM
+traffic the XLA graph pays (the reference's equivalent stage is ESMF's
+route-handle SMM apply, interp.F90:123-136; the layout work below has no
+reference counterpart — it exists because the TPU output must land in the
+row-major (ny, nx, C) order write_data.F90 writes):
+
+1. **Fused unblock.** XLA materializes the tile-blocked (n_tiles, TILE, C)
+   product and then `_unblock` re-reads + re-writes all of it to produce the
+   row-major (ny, nx, C) array — 2 extra full passes over the output, which
+   dominates traffic (out is ~25x larger than A + slab per pass at CONUS
+   sizes). Here the kernel's out BlockSpec maps tile (i, j) straight to
+   rows [i*32, i*32+32) x cols [j*32, j*32+32) of the final array: the
+   reshape (TILE, CB) -> (TY, TX, CB) is a sublane-dim split (32 % 8 == 0),
+   free in Mosaic, and the product is DMA'd once to its final location.
+2. **In-register bf16 split.** split_bf16 mode feeds the MXU the stacked
+   compensated operands (see matmul_apply._stack_A). XLA materializes the
+   (3W, CB) bf16 slab stack per chunk; here hi/lo extraction + concat happen
+   on the VPU between the VMEM slab block and the MXU — the slab is read
+   from HBM once, as f32, width W not 3W.
+3. **VMEM-resident A.** Grid order is (tile_y, tile_x, chunk) with chunks
+   innermost; A's block index does not depend on the chunk, so Mosaic keeps
+   each tile's A in VMEM across all column chunks instead of re-streaming
+   it per (tile, chunk) pair.
+
+Numerics match the XLA path: split_bf16 computes Ah@Sh + Ah@Sl + Al@Sh in
+one default-precision bf16 MXU pass over the 3W stacked contraction
+(~1e-5 rel err); "highest" runs f32 operands at Precision.HIGHEST
+(~1e-7). Tested equal to the XLA path to tight tolerances in
+tests/test_pallas_matmul.py (interpret mode on CPU, native on TPU).
+
+VMEM budget per grid step (double-buffered by Mosaic): A (3W x 1024 bf16 or
+W x 1024 f32), slab (W x CB f32), out (32 x 32 x CB f32). At the W_CAP=1024
+extreme that is ~2*(6 + 1 + 1) = 16 MB, within the 128 MB physical VMEM;
+`fused_available` guards the practical limit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TY = 32
+TX = 32
+TILE = TY * TX
+CB = 256            # column block (matches matmul_apply.CB)
+
+_VMEM_BYTES = 100 * 1024 * 1024
+
+
+def _kernel_split(a_ref, slab_ref, out_ref):
+    """split_bf16: a_ref (1, 3W, TILE) bf16 pre-stacked; slab (1, W, CB) f32."""
+    s = slab_ref[0]
+    hi = s.astype(jnp.bfloat16)
+    lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    s3 = jnp.concatenate([hi, lo, hi], axis=0)          # (3W, CB)
+    out = jax.lax.dot_general(
+        a_ref[0], s3,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+def _kernel_highest(a_ref, slab_ref, out_ref):
+    """highest: a_ref (1, W, TILE) f32; slab (1, W, CB) f32."""
+    out = jax.lax.dot_general(
+        a_ref[0], slab_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out_ref[...] = out.reshape(out_ref.shape)
+
+
+@partial(jax.jit, static_argnames=("nty", "ntx", "precision", "interpret"))
+def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
+                interpret=False):
+    """A (n_tiles, Wa, TILE), slab (n_tiles, W, Cp) f32, Cp % CB == 0.
+
+    Returns (nty*TY, ntx*TX, Cp) f32 in final row-major target layout.
+    """
+    n_tiles, W, Cp = slab.shape
+    if n_tiles != nty * ntx:
+        raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
+    if Cp % CB:
+        raise ValueError(f"column count {Cp} not a multiple of {CB}")
+    kernel = _kernel_split if precision == "split_bf16" else _kernel_highest
+    Wa = A.shape[1]
+    grid = (nty, ntx, Cp // CB)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_BYTES)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp),
+                                       jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Wa, TILE),
+                             lambda i, j, k: (i * ntx + j, 0, 0)),
+                pl.BlockSpec((1, W, CB),
+                             lambda i, j, k: (i * ntx + j, 0, k)),
+            ],
+            out_specs=pl.BlockSpec((TY, TX, CB),
+                                   lambda i, j, k: (i, j, k)),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(A, slab)
+
+
+def fused_available(W, precision="split_bf16") -> bool:
+    """True when the fused kernel's VMEM working set fits comfortably."""
+    a_bytes = (3 * W * TILE * 2 if precision == "split_bf16"
+               else W * TILE * 4)
+    work = 2 * (a_bytes + W * CB * 4 + TY * TX * CB * 4)
+    return work <= _VMEM_BYTES

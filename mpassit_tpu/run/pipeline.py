@@ -145,7 +145,11 @@ def _make_regridder(ell: ELLWeights, dtype, mesh=None,
         try:
             from ..ops.matmul_apply import SlabMatmulRegridder
 
-            return SlabMatmulRegridder(ell, mesh=mesh, precision=precision)
+            # MPASSIT_APPLY_BACKEND=pallas|xla|auto overrides the engine
+            # choice (auto = fused Mosaic kernel on TPU, XLA elsewhere)
+            backend = os.environ.get("MPASSIT_APPLY_BACKEND", "auto")
+            return SlabMatmulRegridder(ell, mesh=mesh, precision=precision,
+                                       backend=backend)
         except ValueError:
             pass
     if mesh is not None:
