@@ -227,12 +227,18 @@ class SlabMatmulRegridder:
         slab_idx = np.where(pad, 0, slab_coded - offs).astype(np.int64)
         loc_w = np.where(valid, w_b.reshape(n_tiles, TILE * K), 0.0)
 
-        # pad the tile axis to a device multiple when sharding
+        # pad whole TILE-ROWS to a device multiple when sharding, so each
+        # device's tile shard is a horizontal band of the target grid — the
+        # layout both the XLA path and the fused kernel (which needs a
+        # rectangular (nty_local, ntx) grid per device) can consume, and the
+        # analog of ESMF's regDecomp row bands (model_grid.F90:694)
         self.n_tiles_data = n_tiles
+        self.nty_p = self.nty
         if mesh is not None:
             n_dev = int(np.prod(list(mesh.shape.values())))
-            tpad = (-n_tiles) % n_dev
-            if tpad:
+            tpad_rows = (-self.nty) % n_dev
+            if tpad_rows:
+                tpad = tpad_rows * self.ntx
                 slab_idx = np.concatenate(
                     [slab_idx, np.zeros((tpad, W), np.int64)], axis=0)
                 loc = np.concatenate(
@@ -240,6 +246,7 @@ class SlabMatmulRegridder:
                 loc_w = np.concatenate(
                     [loc_w, np.zeros((tpad, TILE * K), np.float64)], axis=0)
                 n_tiles += tpad
+                self.nty_p = self.nty + tpad_rows
 
         self.W = W
         self.n_tiles = n_tiles
@@ -276,10 +283,9 @@ class SlabMatmulRegridder:
         self.duplication = n_tiles * W / max(ell.n_src, 1)
 
     def _use_fused(self) -> bool:
-        """Route to the fused Pallas kernel? (single-device TPU only —
-        the sharded path stays on XLA so the tile axis can ride a
-        NamedSharding without a shard_map wrapper.)"""
-        if self.mesh is not None or self.backend == "xla":
+        """Route to the fused Pallas kernel? With a mesh, each device runs
+        the kernel on its own tile-row band inside a shard_map."""
+        if self.backend == "xla":
             return False
         from .pallas_matmul import fused_available
 
@@ -289,15 +295,34 @@ class SlabMatmulRegridder:
                 and fused_available(self.W, self.precision))
 
     def _fused_full(self, slab):
-        """(n_tiles, W, Cp) slab -> (nyp, nxp, Cp) via the Mosaic kernel.
+        """(n_tiles, W, Cp) slab -> (nyp_p, nxp, Cp) via the Mosaic kernel.
 
         Off-TPU (tests forcing backend="pallas") the kernel runs in
-        interpret mode — bit-identical semantics, Python-loop speed."""
+        interpret mode — bit-identical semantics, Python-loop speed.
+        With a mesh, the kernel runs per device on its (nty_p / n_dev)
+        tile-row band under shard_map; the row-sharded output needs no
+        collective (the reference's target decomposition,
+        model_grid.F90:687-703)."""
         from .pallas_matmul import fused_apply
 
-        return fused_apply(self.A, slab, nty=self.nty, ntx=self.ntx,
-                           precision=self.precision,
-                           interpret=jax.default_backend() != "tpu")
+        interpret = jax.default_backend() != "tpu"
+        if self.mesh is None:
+            return fused_apply(self.A, slab, nty=self.nty, ntx=self.ntx,
+                               precision=self.precision, interpret=interpret)
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        n_dev = int(np.prod(list(self.mesh.shape.values())))
+        nty_l = self.nty_p // n_dev
+        fn = jax.jit(jax.shard_map(
+            partial(fused_apply, nty=nty_l, ntx=self.ntx,
+                    precision=self.precision, interpret=interpret),
+            mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None, None)),
+            out_specs=P(ax, None, None),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False))
+        return fn(self.A, slab)
 
     def __call__(self, src_dev):
         """src (n_src, C) on device. Returns (nyp, nxp, C) device array."""

@@ -60,26 +60,37 @@ _VMEM_BYTES = 100 * 1024 * 1024
 
 
 def _kernel_split(a_ref, slab_ref, out_ref):
-    """split_bf16: a_ref (1, 3W, TILE) bf16 pre-stacked; slab (1, W, CB) f32."""
+    """split_bf16: a_ref (1, 3W, TILE) bf16 pre-stacked; slab (1, W, Cp) f32.
+
+    The MXU dots run over CB-column sub-chunks of the VMEM-resident slab
+    (wide batched matmuls compile pathologically slowly through remote
+    Mosaic); the out block spans the full Cp so each tile row lands in HBM
+    as one contiguous run."""
     s = slab_ref[0]
     hi = s.astype(jnp.bfloat16)
     lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    s3 = jnp.concatenate([hi, lo, hi], axis=0)          # (3W, CB)
-    out = jax.lax.dot_general(
-        a_ref[0], s3,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[...] = out.reshape(out_ref.shape)
+    s3 = jnp.concatenate([hi, lo, hi], axis=0)          # (3W, Cp)
+    Cp = s.shape[1]
+    for lo_c in range(0, Cp, CB):
+        out = jax.lax.dot_general(
+            a_ref[0], s3[:, lo_c:lo_c + CB],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, lo_c:lo_c + CB] = out.reshape(
+            out_ref.shape[0], out_ref.shape[1], CB)
 
 
 def _kernel_highest(a_ref, slab_ref, out_ref):
-    """highest: a_ref (1, W, TILE) f32; slab (1, W, CB) f32."""
-    out = jax.lax.dot_general(
-        a_ref[0], slab_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    out_ref[...] = out.reshape(out_ref.shape)
+    """highest: a_ref (1, W, TILE) f32; slab (1, W, Cp) f32."""
+    Cp = slab_ref.shape[2]
+    for lo_c in range(0, Cp, CB):
+        out = jax.lax.dot_general(
+            a_ref[0], slab_ref[0, :, lo_c:lo_c + CB],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[:, :, lo_c:lo_c + CB] = out.reshape(
+            out_ref.shape[0], out_ref.shape[1], CB)
 
 
 @partial(jax.jit, static_argnames=("nty", "ntx", "precision", "interpret"))
@@ -96,30 +107,50 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
         raise ValueError(f"column count {Cp} not a multiple of {CB}")
     kernel = _kernel_split if precision == "split_bf16" else _kernel_highest
     Wa = A.shape[1]
-    grid = (nty, ntx, Cp // CB)
+    # One grid step per tile; the block spans the FULL column width so each
+    # of the tile's 32 y-rows is one contiguous (TX * Cp * 4)-byte HBM run —
+    # column-chunked out blocks degrade the write DMA to 1 KB strided runs.
+    # When the full-width working set would not fit VMEM, fall back to a
+    # column-chunked grid (same kernels: they sub-chunk internally).
+    chunked = not _fits_vmem(Wa, W, Cp, A.dtype)
+    if chunked:
+        grid = (nty, ntx, Cp // CB)
+        in_specs = [
+            pl.BlockSpec((1, Wa, TILE), lambda i, j, k: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((1, W, CB), lambda i, j, k: (i * ntx + j, 0, k)),
+        ]
+        out_specs = pl.BlockSpec((TY, TX, CB), lambda i, j, k: (i, j, k))
+        semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        grid = (nty, ntx)
+        in_specs = [
+            pl.BlockSpec((1, Wa, TILE), lambda i, j: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0)),
+        ]
+        out_specs = pl.BlockSpec((TY, TX, Cp), lambda i, j: (i, j, 0))
+        semantics = ("parallel", "parallel")
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=_VMEM_BYTES)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp),
                                        jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Wa, TILE),
-                             lambda i, j, k: (i * ntx + j, 0, 0)),
-                pl.BlockSpec((1, W, CB),
-                             lambda i, j, k: (i * ntx + j, 0, k)),
-            ],
-            out_specs=pl.BlockSpec((TY, TX, CB),
-                                   lambda i, j, k: (i, j, k)),
-        ),
+        grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs,
+                              out_specs=out_specs),
         interpret=interpret,
         **kwargs,
     )(A, slab)
+
+
+def _fits_vmem(Wa, W, Cp, a_dtype) -> bool:
+    """Full-width (un-chunked) working set: double-buffered A block, slab
+    block, and out block."""
+    a_bytes = Wa * TILE * (2 if a_dtype == jnp.bfloat16 else 4)
+    work = 2 * (a_bytes + W * Cp * 4 + TILE * Cp * 4)
+    return work <= _VMEM_BYTES // 2
 
 
 def fused_available(W, precision="split_bf16") -> bool:

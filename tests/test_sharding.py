@@ -65,6 +65,22 @@ def test_slab_matmul_sharded_equals_unsharded(small_mesh, ell):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_slab_matmul_sharded_fused_equals_unsharded(small_mesh, ell):
+    """Sharded fused-kernel path (per-device pallas on tile-row bands under
+    shard_map, interpret mode on CPU) == single-device XLA result."""
+    from mpassit_tpu.ops.matmul_apply import SlabMatmulRegridder
+
+    mesh = make_grid_mesh()
+    rng = np.random.default_rng(8)
+    src = rng.standard_normal((small_mesh.ncells, 6)).astype(np.float32)
+
+    ref = SlabMatmulRegridder(ell).apply_np(src)
+    rg = SlabMatmulRegridder(ell, mesh=mesh, backend="pallas")
+    assert rg.nty_p % mesh.devices.size == 0
+    out = rg.apply_np(src)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_pipeline_with_device_shards(tmp_path):
     """n_device_shards=8 drives the full pipeline on the virtual CPU mesh."""
     import jax.numpy as jnp
