@@ -3,9 +3,9 @@
 The reference offers METIS graph-partition files to give each MPI rank a
 compact patch (``block_decomp_file``, model_grid.F90:2367-2426). The
 TPU-native analog is a *global renumbering*: sort cells into latitude bands
-(lat-major, lon within band) so that a row-major sweep of any structured
-target grid touches a bounded contiguous window of source rows — the
-precondition for ops/pallas_apply.WindowedRegridder's VMEM reuse.
+(lat-major, lon within band) or along a target-space Z-curve so that nearby
+target tiles reference compact spans of source rows — turning the slab
+gather in ops/matmul_apply into near-sequential HBM reads.
 """
 
 from __future__ import annotations
