@@ -46,10 +46,18 @@ import numpy as np
 TY = 32
 TX = 32
 TILE = TY * TX
-# columns per apply chunk: bounds device memory in apply_np and keeps one
-# compiled matmul shape per engine (Mosaic compiles are seconds each
-# through remote-compile tunnels).
+# column padding quantum: the f32 lane width — the narrowest column count
+# the TPU stores at full efficiency. Padding further (the old CB=256
+# quantum) is pure HBM write amplification: a 2-col conservative bundle
+# wrote 128x its useful bytes. Distinct padded widths each compile once;
+# the persistent XLA compilation cache amortizes that across runs.
+LANE = 128
+# columns per MXU sub-chunk / host-fetch strip (wide batched matmuls
+# compile pathologically slowly through remote Mosaic tunnels).
 CB = 256
+# columns per fused-kernel launch in apply_np: bounds peak device residency
+# to one (nyp, nxp, FETCH) output group.
+FETCH = 512
 W_STEP = 8          # slab width quantum (f32 sublane)
 W_CAP = 1024
 
@@ -281,6 +289,10 @@ class SlabMatmulRegridder:
         else:
             self.A = A.astype(dtype)
         self.duplication = n_tiles * W / max(ell.n_src, 1)
+        # jitted shard_map wrapper for the fused sharded path, built lazily
+        # ONCE and reused — rebuilding it per call would re-trace/re-compile
+        # on the hot per-bundle path (ADVICE r2)
+        self._fused_sharded = None
 
     def _use_fused(self) -> bool:
         """Route to the fused Pallas kernel? With a mesh, each device runs
@@ -309,20 +321,21 @@ class SlabMatmulRegridder:
         if self.mesh is None:
             return fused_apply(self.A, slab, nty=self.nty, ntx=self.ntx,
                                precision=self.precision, interpret=interpret)
-        from jax.sharding import PartitionSpec as P
+        if self._fused_sharded is None:
+            from jax.sharding import PartitionSpec as P
 
-        ax = self.mesh.axis_names[0]
-        n_dev = int(np.prod(list(self.mesh.shape.values())))
-        nty_l = self.nty_p // n_dev
-        fn = jax.jit(jax.shard_map(
-            partial(fused_apply, nty=nty_l, ntx=self.ntx,
-                    precision=self.precision, interpret=interpret),
-            mesh=self.mesh,
-            in_specs=(P(ax, None, None), P(ax, None, None)),
-            out_specs=P(ax, None, None),
-            # pallas_call's out_shape carries no varying-mesh-axes info
-            check_vma=False))
-        return fn(self.A, slab)
+            ax = self.mesh.axis_names[0]
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            nty_l = self.nty_p // n_dev
+            self._fused_sharded = jax.jit(jax.shard_map(
+                partial(fused_apply, nty=nty_l, ntx=self.ntx,
+                        precision=self.precision, interpret=interpret),
+                mesh=self.mesh,
+                in_specs=(P(ax, None, None), P(ax, None, None)),
+                out_specs=P(ax, None, None),
+                # pallas_call's out_shape carries no varying-mesh-axes info
+                check_vma=False))
+        return self._fused_sharded(self.A, slab)
 
     def __call__(self, src_dev):
         """src (n_src, C) on device. Returns (nyp, nxp, C) device array."""
@@ -331,10 +344,13 @@ class SlabMatmulRegridder:
         if self._src_sharding is not None:
             src_dev = jax.device_put(src_dev, self._src_sharding)
         C = src_dev.shape[1]
-        # pad the column count to a CB multiple so every bundle size reuses
-        # ONE compiled (gather, matmul) shape — Mosaic compiles are seconds
-        # each through remote-compile tunnels, one per distinct C otherwise
-        pad = (-C) % CB
+        # pad the column count to the LANE quantum (128, the f32 lane
+        # width) — the narrowest shape Mosaic stores efficiently. Padding
+        # to more than that is measured write amplification at HBM (a
+        # 2-col conservative bundle padded to 256 wrote 128x its useful
+        # bytes); distinct padded widths each compile once, amortized by
+        # the persistent compilation cache.
+        pad = (-C) % LANE
         if pad:
             src_dev = jnp.pad(src_dev, ((0, 0), (0, pad)))
         Cp = C + pad
@@ -345,9 +361,11 @@ class SlabMatmulRegridder:
         # (indices sharded, source replicated).
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         if self._use_fused():
-            return self._fused_full(slab)[:, :, :C]
+            # crop sharding-padded tile rows so both backends honor the
+            # (nyp, nxp, C) contract (ADVICE r2)
+            return self._fused_full(slab)[: self.nty * TY, :, :C]
         outs = [
-            _tile_matmul(self.A, slab[:, :, lo:lo + CB],
+            _tile_matmul(self.A, slab[:, :, lo:lo + min(CB, Cp - lo)],
                          precision=self.precision)
             for lo in range(0, Cp, CB)
         ]
@@ -367,9 +385,10 @@ class SlabMatmulRegridder:
         if squeeze:
             src = src[:, None]
         C = src.shape[1]
-        pad = (-C) % CB
+        pad = (-C) % LANE
         if pad:
             src = np.pad(src, ((0, 0), (0, pad)))
+        Cp = C + pad
         src_dev = jnp.asarray(src)
         if self._src_sharding is not None:
             src_dev = jax.device_put(src_dev, self._src_sharding)
@@ -379,22 +398,28 @@ class SlabMatmulRegridder:
         from ..parallel.multihost import fetch_to_host
 
         if self._use_fused():
-            # One kernel writes the final layout; fetch in CB strips so the
-            # host-bound crop copies stay small. Peak device residency is
-            # the (nyp, nxp, Cp) output (<=5 GB at the widest CONUS bundle).
-            out_full = self._fused_full(slab)
-            for lo in range(0, C, CB):
-                cb_eff = min(CB, C - lo)
-                out[:, :, lo:lo + cb_eff] = fetch_to_host(
-                    out_full[:ny, :nx, lo:lo + cb_eff])
+            # The kernel writes the final layout per FETCH-column group
+            # (bounds device residency to one group's (nyp, nxp, FETCH)
+            # output — a 1024-col mega-bundle at CONUS size would otherwise
+            # hold 8 GB); fetch in CB strips so the host-bound crop copies
+            # stay small.
+            for g in range(0, Cp, FETCH):
+                gw = min(FETCH, Cp - g)
+                out_g = self._fused_full(slab[:, :, g:g + gw])
+                for lo in range(g, min(g + gw, C), CB):
+                    cb_eff = min(CB, C - lo, g + gw - lo)
+                    out[:, :, lo:lo + cb_eff] = fetch_to_host(
+                        out_g[:ny, :nx, lo - g:lo - g + cb_eff])
             return out[:, :, 0] if squeeze else out
 
-        for lo in range(0, C, CB):
-            o = _tile_matmul(
-                self.A, jax.lax.dynamic_slice_in_dim(slab, lo, CB, axis=2),
-                precision=self.precision)
+        for lo in range(0, Cp, CB):
+            cw = min(CB, Cp - lo)
+            o = _tile_matmul(self.A, slab[:, :, lo:lo + cw],
+                             precision=self.precision)
             o = _unblock(o[: self.n_tiles_data], self.nty, self.ntx)
-            cb_eff = min(CB, C - lo)
+            cb_eff = min(cw, C - lo)
+            if cb_eff <= 0:
+                break
             # multi-controller: the tile-sharded chunk spans processes, so
             # the host fetch is a gather-to-all (fetch_to_host), the
             # FieldGather analog of write_data.F90:1006

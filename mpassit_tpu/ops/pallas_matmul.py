@@ -54,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 TY = 32
 TX = 32
 TILE = TY * TX
-CB = 256            # column block (matches matmul_apply.CB)
+LANE = 128          # column quantum (matches matmul_apply.LANE)
+CB = 256            # MXU sub-chunk (matches matmul_apply.CB)
 
 _VMEM_BYTES = 100 * 1024 * 1024
 
@@ -72,25 +73,27 @@ def _kernel_split(a_ref, slab_ref, out_ref):
     s3 = jnp.concatenate([hi, lo, hi], axis=0)          # (3W, Cp)
     Cp = s.shape[1]
     for lo_c in range(0, Cp, CB):
+        cw = min(CB, Cp - lo_c)
         out = jax.lax.dot_general(
-            a_ref[0], s3[:, lo_c:lo_c + CB],
+            a_ref[0], s3[:, lo_c:lo_c + cw],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[:, :, lo_c:lo_c + CB] = out.reshape(
-            out_ref.shape[0], out_ref.shape[1], CB)
+        out_ref[:, :, lo_c:lo_c + cw] = out.reshape(
+            out_ref.shape[0], out_ref.shape[1], cw)
 
 
 def _kernel_highest(a_ref, slab_ref, out_ref):
     """highest: a_ref (1, W, TILE) f32; slab (1, W, Cp) f32."""
     Cp = slab_ref.shape[2]
     for lo_c in range(0, Cp, CB):
+        cw = min(CB, Cp - lo_c)
         out = jax.lax.dot_general(
-            a_ref[0], slab_ref[0, :, lo_c:lo_c + CB],
+            a_ref[0], slab_ref[0, :, lo_c:lo_c + cw],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        out_ref[:, :, lo_c:lo_c + CB] = out.reshape(
-            out_ref.shape[0], out_ref.shape[1], CB)
+        out_ref[:, :, lo_c:lo_c + cw] = out.reshape(
+            out_ref.shape[0], out_ref.shape[1], cw)
 
 
 @partial(jax.jit, static_argnames=("nty", "ntx", "precision", "interpret"))
@@ -103,8 +106,8 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
     n_tiles, W, Cp = slab.shape
     if n_tiles != nty * ntx:
         raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
-    if Cp % CB:
-        raise ValueError(f"column count {Cp} not a multiple of {CB}")
+    if Cp % LANE:
+        raise ValueError(f"column count {Cp} not a multiple of {LANE}")
     kernel = _kernel_split if precision == "split_bf16" else _kernel_highest
     Wa = A.shape[1]
     # One grid step per tile; the block spans the FULL column width so each
@@ -114,12 +117,12 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
     # column-chunked grid (same kernels: they sub-chunk internally).
     chunked = not _fits_vmem(Wa, W, Cp, A.dtype)
     if chunked:
-        grid = (nty, ntx, Cp // CB)
+        grid = (nty, ntx, Cp // LANE)
         in_specs = [
             pl.BlockSpec((1, Wa, TILE), lambda i, j, k: (i * ntx + j, 0, 0)),
-            pl.BlockSpec((1, W, CB), lambda i, j, k: (i * ntx + j, 0, k)),
+            pl.BlockSpec((1, W, LANE), lambda i, j, k: (i * ntx + j, 0, k)),
         ]
-        out_specs = pl.BlockSpec((TY, TX, CB), lambda i, j, k: (i, j, k))
+        out_specs = pl.BlockSpec((TY, TX, LANE), lambda i, j, k: (i, j, k))
         semantics = ("parallel", "parallel", "arbitrary")
     else:
         grid = (nty, ntx)
@@ -147,15 +150,22 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
 
 def _fits_vmem(Wa, W, Cp, a_dtype) -> bool:
     """Full-width (un-chunked) working set: double-buffered A block, slab
-    block, and out block."""
-    a_bytes = Wa * TILE * (2 if a_dtype == jnp.bfloat16 else 4)
+    block, and out block, plus the in-kernel (3W, Cp) bf16 split stack
+    _kernel_split materializes in full-width mode (6*W*Cp bytes, single
+    instance — a kernel temporary, not pipelined)."""
+    split = a_dtype == jnp.bfloat16
+    a_bytes = Wa * TILE * (2 if split else 4)
     work = 2 * (a_bytes + W * Cp * 4 + TILE * Cp * 4)
+    if split:
+        work += 6 * W * Cp
     return work <= _VMEM_BYTES // 2
 
 
 def fused_available(W, precision="split_bf16") -> bool:
     """True when the fused kernel's VMEM working set fits comfortably."""
-    a_bytes = (3 * W * TILE * 2 if precision == "split_bf16"
-               else W * TILE * 4)
+    split = precision == "split_bf16"
+    a_bytes = 3 * W * TILE * 2 if split else W * TILE * 4
     work = 2 * (a_bytes + W * CB * 4 + TY * TX * CB * 4)
+    if split:
+        work += 6 * W * CB
     return work <= _VMEM_BYTES

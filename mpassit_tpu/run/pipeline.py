@@ -230,6 +230,12 @@ def run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
     # plus the host-side per-field guard in _stack_apply below.
     if os.environ.get("MPASSIT_DEBUG_NANS") == "1":
         jax.config.update("jax_debug_nans", True)
+    # persistent XLA compile cache (VERDICT r2 item 3): amortizes the
+    # multi-second remote Mosaic/XLA compiles across runs, like the weight
+    # cache amortizes RegridStore
+    from ..compilecache import enable_compile_cache
+
+    enable_compile_cache()
     # SURVEY §5 tracing row: opt-in jax.profiler trace of the whole run
     prof_dir = os.environ.get("MPASSIT_PROFILE")
     profile_cm = (jax.profiler.trace(prof_dir) if prof_dir

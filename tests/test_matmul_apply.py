@@ -1,0 +1,164 @@
+"""SlabMatmulRegridder (ops/matmul_apply.py) contracts on real weights.
+
+Restored from the removed test_pallas_apply.py (ADVICE r2): parity vs the
+independent gather Regridder, the documented precision error bounds, the
+load-bearing optimization_barrier in _split_hilo, and the LANE(128) column
+padding / CB chunking behavior."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpassit_tpu.mesh.reorder import reorder_cells_morton
+from mpassit_tpu.mesh.synthetic import synthetic_voronoi_mesh
+from mpassit_tpu.ops.apply import Regridder
+from mpassit_tpu.ops.matmul_apply import (
+    CB,
+    LANE,
+    SlabMatmulRegridder,
+    _split_hilo,
+)
+from mpassit_tpu.weights.bilinear import bilinear_cell_weights
+
+from test_weights import coarse_lambert_grid
+
+
+@pytest.fixture(scope="module")
+def problem():
+    mesh = synthetic_voronoi_mesh(ncells=3000, nz=3, nsoil=1, seed=9)
+    grid = coarse_lambert_grid(nx=64, ny=40, dx=80e3)
+    ro = reorder_cells_morton(mesh, grid.proj)
+    ell = bilinear_cell_weights(ro.mesh, grid.lat, grid.lon)
+    return ro.mesh, grid, ell
+
+
+def test_slab_matmul_matches_xla(problem):
+    mesh, grid, ell = problem
+    rng = np.random.default_rng(4)
+    src = rng.standard_normal((mesh.ncells, 5)).astype(np.float32)
+    ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
+    # default mode is "highest": f32 operands, Precision.HIGHEST (parity-safe)
+    mm = SlabMatmulRegridder(ell)
+    assert mm.precision == "highest"
+    out = mm.apply_np(src)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-5)
+    # 1-D source
+    out1 = mm.apply_np(src[:, 0])
+    np.testing.assert_allclose(out1, ref[:, :, 0], rtol=2e-6, atol=2e-5)
+    # opt-in speed mode: one MXU pass, compensated bf16x3 product
+    out_b = SlabMatmulRegridder(ell, precision="split_bf16").apply_np(src)
+    np.testing.assert_allclose(out_b, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_slab_matmul_column_chunking(problem):
+    """Widths straddling both the CB sub-chunk and the LANE pad quantum."""
+    mesh, grid, ell = problem
+    rng = np.random.default_rng(5)
+    for C in (CB + 7, LANE, LANE + 1, 2 * CB + LANE):
+        src = rng.standard_normal((mesh.ncells, C)).astype(np.float32)
+        ref = Regridder(ell, dtype=jnp.float32).apply_np(src)
+        out = SlabMatmulRegridder(ell).apply_np(src)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_device_call_matches_apply_np(problem):
+    """__call__ (device path) honors the (nyp, nxp, C) contract and matches
+    apply_np's cropped result — both backends (ADVICE r2: the fused path
+    used to return sharding-padded rows)."""
+    mesh, grid, ell = problem
+    rng = np.random.default_rng(6)
+    src = rng.standard_normal((mesh.ncells, 3)).astype(np.float32)
+    ny, nx = ell.dst_shape
+    for backend in ("xla", "pallas"):
+        mm = SlabMatmulRegridder(ell, backend=backend)
+        out_dev = np.asarray(mm(jnp.asarray(src)))
+        assert out_dev.shape == (mm.nty * 32, mm.ntx * 32, 3)
+        np.testing.assert_allclose(
+            out_dev[:ny, :nx], mm.apply_np(src), rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_fused_output_shape(problem):
+    """With a device mesh, the fused path must crop the device-padding tile
+    rows back off (ADVICE r2 finding #1)."""
+    from mpassit_tpu.parallel.sharding import make_grid_mesh
+
+    mesh, grid, ell = problem
+    dmesh = make_grid_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(8)
+    src = rng.standard_normal((mesh.ncells, 2)).astype(np.float32)
+    mm = SlabMatmulRegridder(ell, mesh=dmesh, backend="pallas")
+    mm_x = SlabMatmulRegridder(ell, mesh=dmesh, backend="xla")
+    out = np.asarray(mm(jnp.asarray(src)))
+    out_x = np.asarray(mm_x(jnp.asarray(src)))
+    assert out.shape == out_x.shape == (mm.nty * 32, mm.ntx * 32, 2)
+    np.testing.assert_allclose(out, out_x, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_sharded_jit_is_reused(problem):
+    """The jitted shard_map wrapper must be built once and cached (ADVICE
+    r2 finding #2: rebuilding per call re-traced on the hot bundle path)."""
+    from mpassit_tpu.parallel.sharding import make_grid_mesh
+
+    mesh, grid, ell = problem
+    dmesh = make_grid_mesh(jax.devices()[:8])
+    mm = SlabMatmulRegridder(ell, mesh=dmesh, backend="pallas")
+    src = jnp.asarray(np.random.default_rng(9).standard_normal(
+        (mesh.ncells, 2)).astype(np.float32))
+    assert mm._fused_sharded is None
+    mm(src)
+    fn = mm._fused_sharded
+    assert fn is not None
+    mm(src)
+    assert mm._fused_sharded is fn
+
+
+def test_precision_error_bounds(problem):
+    """Backs the documented error claims (ops/matmul_apply.py docstring,
+    CMakeLists.txt:80 reference f64 compute): vs an f64 oracle apply,
+    precision="highest" carries ~1e-7 relative error (f32 rounding) and
+    precision="split_bf16" ~1e-5 (compensated bf16x3 product)."""
+    mesh, grid, ell = problem
+    rng = np.random.default_rng(7)
+    src64 = rng.standard_normal((mesh.ncells, 8))
+    ref = Regridder(ell, dtype=jnp.float64).apply_np(src64)
+    src32 = src64.astype(np.float32)
+    scale = np.abs(ref) + 1.0  # rng values are O(1); guards unmapped zeros
+
+    err_h = np.abs(SlabMatmulRegridder(ell, precision="highest")
+                   .apply_np(src32) - ref) / scale
+    err_b = np.abs(SlabMatmulRegridder(ell, precision="split_bf16")
+                   .apply_np(src32) - ref) / scale
+    assert np.quantile(err_h, 0.99) < 5e-7, err_h.max()
+    assert err_h.max() < 5e-6
+    assert np.quantile(err_b, 0.99) < 5e-5, err_b.max()
+    assert err_b.max() < 1e-3
+    # the speed mode really is coarser — otherwise the bounds prove nothing
+    assert err_b.max() > err_h.max()
+
+
+def test_rejects_too_many_uniques(problem):
+    """A fully scattered operator exceeds the per-tile unique-row cap."""
+    mesh, grid, ell = problem
+    rng = np.random.default_rng(1)
+    scrambled = dataclasses.replace(ell, idx=rng.integers(
+        0, ell.n_src, size=ell.idx.shape).astype(np.int32))
+    with pytest.raises(ValueError, match="unique source rows"):
+        SlabMatmulRegridder(scrambled)
+
+
+def test_split_hilo_residual_survives_jit():
+    """Guards the optimization_barrier in _split_hilo: XLA:TPU's algebraic
+    simplifier folds f32->bf16->f32 round-trips to identity, zeroing the
+    compensation term and silently degrading split_bf16 to plain bf16."""
+    x = jnp.asarray(np.float32(1.0) + np.float32(1e-3) *
+                    np.arange(1, 257, dtype=np.float32))
+    hi, lo = jax.jit(_split_hilo)(x)
+    lo32 = np.asarray(lo, np.float32)
+    assert (np.abs(lo32) > 0).any(), "residual folded to zero under jit"
+    recon = np.asarray(hi, np.float32) + lo32
+    np.testing.assert_allclose(recon, np.asarray(x), rtol=2e-5)
+    # hi alone must NOT reconstruct (otherwise the test proves nothing)
+    assert np.abs(np.asarray(hi, np.float32) - np.asarray(x)).max() > 1e-4
