@@ -78,34 +78,78 @@ def _nan_guard(name: str, arr) -> None:
         raise FatalError(f"NON-FINITE VALUES IN REGRIDDED FIELD {name}")
 
 
-def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
-                 dtype=np.float32):
-    """Bundle amortization: stack same-category fields into one (n_src, C)
-    matrix, apply once, unstack. Returns [(out_name, arr, units, desc)]."""
-    if not specs:
-        return []
-    if ndim == 2:
-        src = np.stack([data.fields[s.in_name] for s in specs], axis=1)
-        out = rg.apply_np(src.astype(dtype))
-        res = [
-            (s.out_name, out[..., i], data.units[s.in_name],
-             data.long_name[s.in_name])
-            for i, s in enumerate(specs)
-        ]
-        for name, arr, *_ in res:
-            _nan_guard(name, arr)
-        return res
-    # 3-D: each field (n_src, nlev); concat along columns
-    nlevs = [data.fields[s.in_name].shape[1] for s in specs]
-    src = np.concatenate([data.fields[s.in_name] for s in specs], axis=1)
-    out = rg.apply_np(src.astype(dtype))
+def _unstack_specs(out, data: InputData, specs, nlevs):
+    """Slice an applied (ny, nx, C) block back into per-field tuples."""
     res, off = [], 0
     for s, nl in zip(specs, nlevs):
-        res.append((s.out_name, out[..., off:off + nl],
-                    data.units[s.in_name], data.long_name[s.in_name]))
-        off += nl
+        arr = out[..., off] if nl is None else out[..., off:off + nl]
+        res.append((s.out_name, arr, data.units[s.in_name],
+                    data.long_name[s.in_name]))
+        off += 1 if nl is None else nl
     for name, arr, *_ in res:
         _nan_guard(name, arr)
+    return res
+
+
+class _ApplyBatch:
+    """Cross-category bundle packing: every stack routed to the SAME weight
+    operator joins one (n_src, C_total) apply.
+
+    The reference amortizes one route handle per FieldBundle
+    (interp.F90:123-136) but still pays one distributed SMM per bundle;
+    here all same-method bundles share a single slab gather + fused-kernel
+    launch, and — with LANE(128) column padding — narrow stacks (a 1-col
+    hgt, a 2-col conservative pair) no longer each pay a full padded-width
+    HBM write. Sinks run after the one apply, in add() order."""
+
+    def __init__(self, rg, dtype):
+        self.rg, self.dtype = rg, dtype
+        self.parts = []                     # (n_cols, src_matrix, sink)
+
+    def add(self, src, sink):
+        """src (n_src,) or (n_src, k); sink receives the (ny, nx, k) block
+        (or (ny, nx) when src was 1-D)."""
+        squeeze = src.ndim == 1
+        mat = src[:, None] if squeeze else src
+        self.parts.append((mat.shape[1], mat, squeeze, sink))
+
+    def add_stack(self, data: InputData, specs, ndim: int, sink):
+        """Pack a varlist category; sink receives [(name, arr, units,
+        long_name)] in spec order."""
+        if not specs:
+            sink([])
+            return
+        if ndim == 2:
+            src = np.stack([data.fields[s.in_name] for s in specs], axis=1)
+            nlevs = [None] * len(specs)
+        else:
+            nlevs = [data.fields[s.in_name].shape[1] for s in specs]
+            src = np.concatenate([data.fields[s.in_name] for s in specs],
+                                 axis=1)
+        self.add(src, lambda out: sink(
+            _unstack_specs(out, data, specs, nlevs)))
+
+    def run(self):
+        if not self.parts:
+            return
+        src = np.concatenate([m for _, m, _, _ in self.parts],
+                             axis=1).astype(self.dtype)
+        out = self.rg.apply_np(src)
+        off = 0
+        for k, _, squeeze, sink in self.parts:
+            sink(out[..., off] if squeeze else out[..., off:off + k])
+            off += k
+        self.parts = []
+
+
+def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
+                 dtype=np.float32):
+    """One-shot bundle apply (kept for per-field conservative regrids,
+    interp_as_bundle=.false.). Returns [(out_name, arr, units, desc)]."""
+    batch = _ApplyBatch(rg, dtype)
+    res = []
+    batch.add_stack(data, specs, ndim, res.extend)
+    batch.run()
     return res
 
 
@@ -333,36 +377,45 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
 
     with _Timer(timings, "interp_data"):
+        # One _ApplyBatch per weight operator: every stack routed to the
+        # same method rides ONE slab gather + ONE fused-kernel launch
+        # (cross-bundle packing — the reference pays one ESMF SMM per
+        # bundle, interp.F90:119-447; narrow stacks no longer each pay a
+        # full padded-width HBM write).
+        batches: dict[str, _ApplyBatch] = {}
+
+        def batch_for(key: str) -> _ApplyBatch:
+            if key not in batches:
+                batches[key] = _ApplyBatch(rgs[key], np_dtype)
+            return batches[key]
+
+        wind = {}
+        d2 = []
         if cfg.interp_diag:
             d2 = [s for s in routing.diag if data.fields[s.in_name].ndim == 1]
             d3 = [s for s in routing.diag if data.fields[s.in_name].ndim == 2]
-            res.diag2d = _stack_apply(rgs["bilinear"], data, d2, 2, np_dtype)
-            res.diag3d = _stack_apply(rgs["bilinear"], data, d3, 3, np_dtype)
-            # 10-m wind rotation (interp.F90:138-140, wind_dim=2)
-            names2 = [s.in_name for s in d2]
-            if "u10" in names2 and "v10" in names2 and cfg.proj_code == PROJ_LC:
-                iu, iv = names2.index("u10"), names2.index("v10")
-                u, v = rotate_winds(
-                    jnp.asarray(res.diag2d[iu][1]), jnp.asarray(res.diag2d[iv][1]),
-                    jnp.asarray(grid.cosa, dtype=dtype),
-                    jnp.asarray(grid.sina, dtype=dtype))
-                res.diag2d[iu] = res.diag2d[iu][:1] + (np.asarray(u),) + res.diag2d[iu][2:]
-                res.diag2d[iv] = res.diag2d[iv][:1] + (np.asarray(v),) + res.diag2d[iv][2:]
+            batch_for("bilinear").add_stack(
+                data, d2, 2, lambda r: setattr(res, "diag2d", r))
+            batch_for("bilinear").add_stack(
+                data, d3, 3, lambda r: setattr(res, "diag3d", r))
 
         if cfg.interp_hist:
-            res.patch2d = _stack_apply(rgs["bilinear"], data, routing.patch_2d,
-                                       2, np_dtype)
-            res.nz3d = _stack_apply(rgs["bilinear"], data, routing.nz_3d,
-                                    3, np_dtype)
-            res.nzp13d = _stack_apply(rgs["bilinear"], data, routing.nzp1_3d,
-                                      3, np_dtype)
+            bil = batch_for("bilinear")
+            bil.add_stack(data, routing.patch_2d, 2,
+                          lambda r: setattr(res, "patch2d", r))
+            bil.add_stack(data, routing.nz_3d, 3,
+                          lambda r: setattr(res, "nz3d", r))
+            bil.add_stack(data, routing.nzp1_3d, 3,
+                          lambda r: setattr(res, "nzp13d", r))
             if routing.vert_3d:
-                res.vert3d = _stack_apply(rgs["vertex"], data, routing.vert_3d,
-                                          3, np_dtype)
+                batch_for("vertex").add_stack(
+                    data, routing.vert_3d, 3,
+                    lambda r: setattr(res, "vert3d", r))
             if routing.cons_2d:
                 if cfg.interp_as_bundle:
-                    res.cons2d = _stack_apply(rgs["conserve"], data,
-                                              routing.cons_2d, 2, np_dtype)
+                    batch_for("conserve").add_stack(
+                        data, routing.cons_2d, 2,
+                        lambda r: setattr(res, "cons2d", r))
                 else:
                     # interp_as_bundle=.false.: conservative fields regridded
                     # one at a time (interp.F90:368-416; the reference notes
@@ -375,17 +428,55 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                                                 np_dtype)
                     ]
             if routing.nstd_2d:
-                res.nstd2d = _stack_apply(rgs["nearest"], data,
-                                          routing.nstd_2d, 2, np_dtype)
+                batch_for("nearest").add_stack(
+                    data, routing.nstd_2d, 2,
+                    lambda r: setattr(res, "nstd2d", r))
             if routing.soil:
-                res.soil = _stack_apply(rgs[routing.soil_method()], data,
-                                        routing.soil, 3, np_dtype)
-
-            # staggered winds (interp.F90:256-328, quirks Q4/Q6)
+                # quirk Q3: soil joins whatever method's batch the carryover
+                # picked — with default lists that packs it into the nstd
+                # nearest apply
+                batch_for(routing.soil_method()).add_stack(
+                    data, routing.soil, 3, lambda r: setattr(res, "soil", r))
+            # staggered winds, first hop: mesh -> mass points
+            # (interp.F90:256-289) packs into the bilinear mega-bundle
             if routing.do_u:
-                umass = rgs["bilinear"].apply_np(data.u.astype(np_dtype))
+                bil.add(data.u.astype(np_dtype),
+                        lambda a: wind.__setitem__("u", a))
             if routing.do_v:
-                vmass = rgs["bilinear"].apply_np(data.v.astype(np_dtype))
+                bil.add(data.v.astype(np_dtype),
+                        lambda a: wind.__setitem__("v", a))
+
+        # hgt always regridded when hist (interp.F90:226-238); the target
+        # HGT ('file' path) is available but the reference overwrites it
+        # with the mesh 'ter' regrid.
+        # CONSCIOUS DEVIATION (documented): for diag-only runs without a
+        # target-file HGT the reference would write an UNINITIALIZED field
+        # (its hgt regrid runs only under interp_hist); we regrid mesh
+        # 'ter' instead of emitting garbage.
+        if cfg.interp_hist or grid.hgt is None:
+            batch_for("bilinear").add(
+                mesh.ter.astype(np_dtype), lambda a: setattr(res, "hgt", a))
+        else:
+            res.hgt = grid.hgt
+
+        for b in batches.values():
+            b.run()
+
+        if cfg.interp_diag:
+            # 10-m wind rotation (interp.F90:138-140, wind_dim=2)
+            names2 = [s.in_name for s in d2]
+            if "u10" in names2 and "v10" in names2 and cfg.proj_code == PROJ_LC:
+                iu, iv = names2.index("u10"), names2.index("v10")
+                u, v = rotate_winds(
+                    jnp.asarray(res.diag2d[iu][1]), jnp.asarray(res.diag2d[iv][1]),
+                    jnp.asarray(grid.cosa, dtype=dtype),
+                    jnp.asarray(grid.sina, dtype=dtype))
+                res.diag2d[iu] = res.diag2d[iu][:1] + (np.asarray(u),) + res.diag2d[iu][2:]
+                res.diag2d[iv] = res.diag2d[iv][:1] + (np.asarray(v),) + res.diag2d[iv][2:]
+
+        if cfg.interp_hist:
+            # staggered winds (interp.F90:256-328, quirks Q4/Q6)
+            umass, vmass = wind.get("u"), wind.get("v")
             if routing.do_u and routing.do_v and cfg.proj_code == PROJ_LC:
                 u, v = rotate_winds(jnp.asarray(umass), jnp.asarray(vmass),
                                     jnp.asarray(grid.cosa, dtype=dtype),
@@ -399,20 +490,6 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
             if routing.do_v:
                 res.v = rgs["edge2"].apply_np(
                     vmass.reshape(grid.n_points, -1))
-
-        # hgt always regridded when hist (interp.F90:226-238); the target
-        # HGT ('file' path) is available but the reference overwrites it
-        # with the mesh 'ter' regrid.
-        # CONSCIOUS DEVIATION (documented): for diag-only runs without a
-        # target-file HGT the reference would write an UNINITIALIZED field
-        # (its hgt regrid runs only under interp_hist); we regrid mesh
-        # 'ter' instead of emitting garbage.
-        if cfg.interp_hist:
-            res.hgt = rgs["bilinear"].apply_np(mesh.ter.astype(np_dtype))
-        elif grid.hgt is not None:
-            res.hgt = grid.hgt
-        else:
-            res.hgt = rgs["bilinear"].apply_np(mesh.ter.astype(np_dtype))
         res.zs = mesh.zs
 
     # serial write on process 0 only (the reference's rank-0 NetCDF write,
