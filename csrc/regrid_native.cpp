@@ -87,6 +87,72 @@ void clip_pairs(int64_t n, int64_t vmax, const double* quad,
     }
 }
 
+// Full conservative pair pipeline: gnomonic projection of the target quad
+// and the source Voronoi polygon onto the plane tangent at the target
+// center, CCW orientation, 4-edge Sutherland–Hodgman clip, and the overlap
+// fraction area(clip)/area(quad). One OpenMP loop replaces five chained
+// NumPy passes over the (npairs, vmax) arrays (the allocation-bound part
+// of weights/conservative.py; semantics identical to its fallback).
+//
+// pt, ps:   (n,) pair target / source ids
+// ctr,e1,e2:(T, 3) tangent frames at target centers (unit vectors)
+// corners:  (T, 4, 3) target cell corner unit vectors
+// voc:      (S, me) vertex ids per source cell, -1 padded (valid prefix)
+// vxyz:     (nverts, 3) vertex unit vectors
+// frac_out: (n,) overlap fraction of the target cell area
+void conservative_pairs(int64_t n, int64_t me,
+                        const int64_t* pt, const int64_t* ps,
+                        const double* ctr, const double* e1,
+                        const double* e2, const double* corners,
+                        const int64_t* voc, const double* vxyz,
+                        double* frac_out) {
+    constexpr int CAP = 64;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t t = pt[i], s = ps[i];
+        const double* N = ctr + 3 * t;
+        const double* E1 = e1 + 3 * t;
+        const double* E2 = e2 + 3 * t;
+        auto project = [&](const double* p) -> Pt {
+            double dn = p[0] * N[0] + p[1] * N[1] + p[2] * N[2];
+            return {(p[0] * E1[0] + p[1] * E1[1] + p[2] * E1[2]) / dn,
+                    (p[0] * E2[0] + p[1] * E2[1] + p[2] * E2[2]) / dn};
+        };
+        Pt quad[4];
+        for (int c = 0; c < 4; ++c)
+            quad[c] = project(corners + (t * 4 + c) * 3);
+        double qa = shoelace(quad, 4);
+        if (qa < 0.0) {                       // enforce CCW clip quad
+            Pt tmp = quad[0]; quad[0] = quad[3]; quad[3] = tmp;
+            tmp = quad[1]; quad[1] = quad[2]; quad[2] = tmp;
+            qa = -qa;
+        }
+        if (!(qa > 0.0)) { frac_out[i] = 0.0; continue; }
+
+        Pt bufA[CAP], bufB[CAP];
+        int sn = 0;
+        const int64_t* vs = voc + s * me;
+        for (int v = 0; v < me && vs[v] >= 0 && sn < CAP; ++v)
+            bufA[sn++] = project(vxyz + 3 * vs[v]);
+        if (sn < 3) { frac_out[i] = 0.0; continue; }
+        if (shoelace(bufA, sn) < 0.0) {       // orient source CCW
+            for (int v = 0; v < sn / 2; ++v) {
+                Pt tmp = bufA[v];
+                bufA[v] = bufA[sn - 1 - v];
+                bufA[sn - 1 - v] = tmp;
+            }
+        }
+        Pt* cur = bufA;
+        Pt* nxt = bufB;
+        int cn = sn;
+        for (int e = 0; e < 4 && cn >= 3; ++e) {
+            cn = clip_edge(cur, cn, quad[e], quad[(e + 1) & 3], nxt);
+            Pt* tmp = cur; cur = nxt; nxt = tmp;
+        }
+        frac_out[i] = (cn >= 3) ? shoelace(cur, cn) / qa : 0.0;
+    }
+}
+
 // Barycentric locate: for each point, test `ntri` candidate triangles and
 // report the best (max of min barycentric coord) — the inner loop of
 // bilinear weight generation. All coordinates are 3-D unit vectors.

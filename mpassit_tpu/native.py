@@ -70,6 +70,19 @@ def get_lib():
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
         lib.clip_pairs.restype = None
+        lib.conservative_pairs.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.conservative_pairs.restype = None
         lib.bary_locate.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
@@ -96,6 +109,27 @@ def clip_pairs(quad: np.ndarray, spoly: np.ndarray, scnt: np.ndarray):
     out = np.empty(n, dtype=np.float64)
     lib.clip_pairs(n, vmax, quad, spoly, scnt, out)
     return out
+
+
+def conservative_pairs(pt, ps, ctr, e1, e2, corners, voc, vxyz):
+    """Overlap fractions for (target, source) candidate pairs — the whole
+    per-pair conservative pipeline in one OpenMP pass — or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pt = np.ascontiguousarray(pt, dtype=np.int64)
+    ps = np.ascontiguousarray(ps, dtype=np.int64)
+    ctr = np.ascontiguousarray(ctr, dtype=np.float64)
+    e1 = np.ascontiguousarray(e1, dtype=np.float64)
+    e2 = np.ascontiguousarray(e2, dtype=np.float64)
+    corners = np.ascontiguousarray(corners, dtype=np.float64)
+    voc = np.ascontiguousarray(voc, dtype=np.int64)
+    vxyz = np.ascontiguousarray(vxyz, dtype=np.float64)
+    frac = np.empty(len(pt), dtype=np.float64)
+    lib.conservative_pairs(len(pt), voc.shape[1], pt, ps, ctr, e1, e2,
+                           corners, voc, vxyz, frac)
+    return frac
 
 
 def bary_locate(points: np.ndarray, cand: np.ndarray, tri_verts: np.ndarray):

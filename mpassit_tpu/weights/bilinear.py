@@ -127,6 +127,11 @@ def bilinear_cell_weights(mesh: MPASMesh, lat, lon, n_query: int = 3,
         _, near = mesh.cell_tree.query(pc, k=k, workers=-1)
         near = near.reshape(Tc, -1)
         cand = table[near].reshape(Tc, -1)        # (Tc, k*width), -1 padded
+        if cand.shape[1] == 0:
+            # a mesh so sparse no cell has incident triangles (regional
+            # fixtures): everything stays unmapped (quirk Q5); the NumPy
+            # argmax below would choke on the zero-width candidate axis
+            return rows
 
         if tri_xyz is not None:
             best, wsel = native.bary_locate(pc, cand, tri_xyz)
