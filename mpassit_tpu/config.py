@@ -189,6 +189,18 @@ class Config:
     #: per device — the multi-host / huge-mesh configuration). Only
     #: meaningful with n_device_shards != 0.
     source_decomp: str = "replicate"
+    #: apply arithmetic: "float32" (default — the file output is f32
+    #: either way, matching WRF) or "float64" (the reference's -r8 compute,
+    #: CMakeLists.txt:80; rides the gather engines instead of the MXU
+    #: slab-matmul).
+    compute_dtype: str = "float32"
+    #: gather terminal fields to process 0 only (the reference's
+    #: ESMF_FieldGather rootPet=0 pattern, write_data.F90:1006): non-root
+    #: processes skip the host copy of writer-bound fields, cutting their
+    #: peak host memory. Default off = gather-to-all (every process holds
+    #: every field — simplest SPMD). Wind mass fields always gather-to-all
+    #: (they feed the sharded restagger).
+    fetch_root_only: bool = False
     #: cell renumbering for HBM gather coherence — the locality analog of
     #: the reference's METIS block_decomp_file (model_grid.F90:2367-2426):
     #: "morton" (default) orders source cells along a Z-curve over the
@@ -232,6 +244,9 @@ class Config:
                 'source_decomp must be "replicate", "allgather", or "ring"')
         if self.cell_order not in ("morton", "none"):
             raise ConfigError('cell_order must be "morton" or "none"')
+        if self.compute_dtype not in ("float32", "float64"):
+            raise ConfigError(
+                'compute_dtype must be "float32" or "float64"')
         if check_files and self.block_decomp_file != "NULL":
             if not os.path.exists(self.block_decomp_file):
                 raise ConfigError("block_decomp_file DOES NOT EXIST.")

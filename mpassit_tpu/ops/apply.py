@@ -91,5 +91,16 @@ class Regridder:
             out = jnp.concatenate(chunks, axis=1)
         return out.reshape(self.dst_shape + (C,))
 
-    def apply_np(self, src, out_dtype=None):
-        return np.asarray(self(src, out_dtype=out_dtype))
+    def apply_np(self, src, out_dtype=None, root_only: bool = False):
+        """root_only: only process 0 materializes the host copy (terminal
+        fields; see parallel/multihost.fetch_to_host). Single-device
+        results are process-local, so non-primary processes just return a
+        zero-stride broadcast view of the right shape."""
+        out = self(src, out_dtype=out_dtype)
+        if root_only:
+            from ..parallel.multihost import is_primary
+
+            if not is_primary():
+                return np.broadcast_to(np.zeros((), dtype=out.dtype),
+                                       out.shape)
+        return np.asarray(out)

@@ -372,14 +372,18 @@ class SlabMatmulRegridder:
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
         return _unblock(out[: self.n_tiles_data], self.nty, self.ntx)[:, :, :C]
 
-    def apply_np(self, src):
+    def apply_np(self, src, root_only: bool = False):
         """Host-array apply with bounded device memory: the slab is gathered
         once, then each CB-column chunk is matmul'd, unblocked, and fetched
         to host before the next chunk allocates — peak device residency is
         one output chunk (the device-side concat of a ~600-column 3-D stack
         would otherwise double a multi-GB buffer and OOM a 16 GB chip).
         The host fetch mirrors the reference's gather-to-rank-0 for the
-        serial NetCDF write (write_data.F90:1006)."""
+        serial NetCDF write (write_data.F90:1006); with ``root_only`` only
+        process 0 materializes the host array, the others return a
+        zero-stride broadcast view (terminal fields only)."""
+        from ..parallel.multihost import fetch_to_host, is_primary
+
         src = np.asarray(src, dtype=np.float32)
         squeeze = src.ndim == 1
         if squeeze:
@@ -394,8 +398,9 @@ class SlabMatmulRegridder:
             src_dev = jax.device_put(src_dev, self._src_sharding)
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         ny, nx = self.dst_shape
-        out = np.empty((ny, nx, C), np.float32)
-        from ..parallel.multihost import fetch_to_host
+        materialize = not root_only or is_primary()
+        out = (np.empty((ny, nx, C), np.float32) if materialize
+               else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
 
         if self._use_fused():
             # The kernel writes the final layout per FETCH-column group
@@ -408,8 +413,11 @@ class SlabMatmulRegridder:
                 out_g = self._fused_full(slab[:, :, g:g + gw])
                 for lo in range(g, min(g + gw, C), CB):
                     cb_eff = min(CB, C - lo, g + gw - lo)
-                    out[:, :, lo:lo + cb_eff] = fetch_to_host(
-                        out_g[:ny, :nx, lo - g:lo - g + cb_eff])
+                    fetched = fetch_to_host(
+                        out_g[:ny, :nx, lo - g:lo - g + cb_eff],
+                        root_only=root_only)
+                    if materialize:
+                        out[:, :, lo:lo + cb_eff] = fetched
             return out[:, :, 0] if squeeze else out
 
         for lo in range(0, Cp, CB):
@@ -423,6 +431,8 @@ class SlabMatmulRegridder:
             # multi-controller: the tile-sharded chunk spans processes, so
             # the host fetch is a gather-to-all (fetch_to_host), the
             # FieldGather analog of write_data.F90:1006
-            out[:, :, lo:lo + cb_eff] = fetch_to_host(
-                o[:ny, :nx, :cb_eff])
+            fetched = fetch_to_host(o[:ny, :nx, :cb_eff],
+                                    root_only=root_only)
+            if materialize:
+                out[:, :, lo:lo + cb_eff] = fetched
         return out[:, :, 0] if squeeze else out

@@ -75,11 +75,18 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def fetch_to_host(x):
+def fetch_to_host(x, root_only: bool = False):
     """Bring a (possibly cross-process sharded) jax.Array to a host numpy
-    array on EVERY process — the ESMF_FieldGather analog
-    (write_data.F90:1006), except gather-to-all so each process can keep
-    executing the identical SPMD program; process 0 alone writes the file.
+    array — the ESMF_FieldGather analog (write_data.F90:1006).
+
+    Default is gather-to-all so each process can keep executing the
+    identical SPMD program; process 0 alone writes the file.
+    ``root_only=True`` is the reference's gather-to-rank-0 pattern
+    (write_data.F90:1006): every process still participates in the
+    collective (SPMD requirement), but only process 0 pays the host copy —
+    the others get None. Use ONLY for terminal fields headed straight to
+    the writer; a root-only result must never feed a later sharded apply
+    (non-root processes would contribute garbage shards).
 
     np.asarray on a multi-process sharded array raises (non-addressable
     shards); process_allgather assembles it over the collective fabric."""
@@ -91,4 +98,7 @@ def fetch_to_host(x):
         return np.asarray(x)
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    gathered = multihost_utils.process_allgather(x, tiled=True)
+    if root_only and not is_primary():
+        return None
+    return np.asarray(gathered)

@@ -77,10 +77,14 @@ class ShardedRegridder:
             return out[:, 0].reshape(self.dst_shape)
         return out.reshape(self.dst_shape + (src.shape[1],))
 
-    def apply_np(self, src):
+    def apply_np(self, src, root_only: bool = False):
         from .multihost import fetch_to_host
 
-        return fetch_to_host(self(src))
+        out = self(src)
+        fetched = fetch_to_host(out, root_only=root_only)
+        if fetched is None:            # non-primary, root_only
+            return np.broadcast_to(np.zeros((), dtype=out.dtype), out.shape)
+        return fetched
 
 
 def _ring_local(idx_blk, w_blk, src_blk, *, n_dev):
@@ -175,14 +179,17 @@ class SourceShardedRegridder:
         out = self._fn(self.idx, self.w, src_d)[: self.n_dst, :C]
         return out[:, 0] if squeeze else out
 
-    def apply_np(self, src):
+    def apply_np(self, src, root_only: bool = False):
         from .multihost import fetch_to_host
 
         src = np.asarray(src)
-        out = fetch_to_host(self(src))
-        if src.ndim == 1:
-            return out.reshape(self.dst_shape)
-        return out.reshape(self.dst_shape + (src.shape[1],))
+        shape = (self.dst_shape if src.ndim == 1
+                 else self.dst_shape + (src.shape[1],))
+        dev_out = self(src)
+        out = fetch_to_host(dev_out, root_only=root_only)
+        if out is None:                # non-primary, root_only
+            return np.broadcast_to(np.zeros((), dtype=dev_out.dtype), shape)
+        return out.reshape(shape)
 
 
 def ring_apply(ell: ELLWeights, mesh: Mesh, src, dtype=jnp.float32):

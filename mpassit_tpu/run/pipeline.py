@@ -102,8 +102,9 @@ class _ApplyBatch:
     hgt, a 2-col conservative pair) no longer each pay a full padded-width
     HBM write. Sinks run after the one apply, in add() order."""
 
-    def __init__(self, rg, dtype):
+    def __init__(self, rg, dtype, root_only: bool = False):
         self.rg, self.dtype = rg, dtype
+        self.root_only = root_only
         self.parts = []                     # (n_cols, src_matrix, sink)
 
     def add(self, src, sink):
@@ -134,7 +135,7 @@ class _ApplyBatch:
             return
         src = np.concatenate([m for _, m, _, _ in self.parts],
                              axis=1).astype(self.dtype)
-        out = self.rg.apply_np(src)
+        out = self.rg.apply_np(src, root_only=self.root_only)
         off = 0
         for k, _, squeeze, sink in self.parts:
             sink(out[..., off] if squeeze else out[..., off:off + k])
@@ -143,10 +144,10 @@ class _ApplyBatch:
 
 
 def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
-                 dtype=np.float32):
+                 dtype=np.float32, root_only: bool = False):
     """One-shot bundle apply (kept for per-field conservative regrids,
     interp_as_bundle=.false.). Returns [(out_name, arr, units, desc)]."""
-    batch = _ApplyBatch(rg, dtype)
+    batch = _ApplyBatch(rg, dtype, root_only=root_only)
     res = []
     batch.add_stack(data, specs, ndim, res.extend)
     batch.run()
@@ -383,12 +384,19 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         # bundle, interp.F90:119-447; narrow stacks no longer each pay a
         # full padded-width HBM write).
         batches: dict[str, _ApplyBatch] = {}
+        root_only = cfg.fetch_root_only
 
         def batch_for(key: str) -> _ApplyBatch:
+            # terminal fields may gather to process 0 only (the reference's
+            # rootPet=0 FieldGather, write_data.F90:1006)
             if key not in batches:
-                batches[key] = _ApplyBatch(rgs[key], np_dtype)
+                batches[key] = _ApplyBatch(rgs[key], np_dtype,
+                                           root_only=root_only)
             return batches[key]
 
+        # wind mass fields feed the SHARDED edge restagger, so every
+        # process needs the real values: always gather-to-all
+        wind_batch = _ApplyBatch(rgs["bilinear"], np_dtype, root_only=False)
         wind = {}
         d2 = []
         if cfg.interp_diag:
@@ -425,7 +433,8 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                         one
                         for s in routing.cons_2d
                         for one in _stack_apply(rgs["conserve"], data, [s], 2,
-                                                np_dtype)
+                                                np_dtype,
+                                                root_only=root_only)
                     ]
             if routing.nstd_2d:
                 batch_for("nearest").add_stack(
@@ -438,13 +447,16 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                 batch_for(routing.soil_method()).add_stack(
                     data, routing.soil, 3, lambda r: setattr(res, "soil", r))
             # staggered winds, first hop: mesh -> mass points
-            # (interp.F90:256-289) packs into the bilinear mega-bundle
+            # (interp.F90:256-289); packed into the bilinear mega-bundle
+            # unless terminal fields are root-only (the mass winds must
+            # reach every process for the sharded restagger)
+            wb = wind_batch if root_only else bil
             if routing.do_u:
-                bil.add(data.u.astype(np_dtype),
-                        lambda a: wind.__setitem__("u", a))
+                wb.add(data.u.astype(np_dtype),
+                       lambda a: wind.__setitem__("u", a))
             if routing.do_v:
-                bil.add(data.v.astype(np_dtype),
-                        lambda a: wind.__setitem__("v", a))
+                wb.add(data.v.astype(np_dtype),
+                       lambda a: wind.__setitem__("v", a))
 
         # hgt always regridded when hist (interp.F90:226-238); the target
         # HGT ('file' path) is available but the reference overwrites it
@@ -461,6 +473,7 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
 
         for b in batches.values():
             b.run()
+        wind_batch.run()
 
         if cfg.interp_diag:
             # 10-m wind rotation (interp.F90:138-140, wind_dim=2)
@@ -486,11 +499,26 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
             # interp.F90:295-328) through the same apply engines
             if routing.do_u:
                 res.u = rgs["edge1"].apply_np(
-                    umass.reshape(grid.n_points, -1))
+                    umass.reshape(grid.n_points, -1), root_only=root_only)
             if routing.do_v:
                 res.v = rgs["edge2"].apply_np(
-                    vmass.reshape(grid.n_points, -1))
+                    vmass.reshape(grid.n_points, -1), root_only=root_only)
         res.zs = mesh.zs
+
+    # test hook: dump the full-precision regrid results before the f32
+    # NetCDF write, so cross-process bit-parity can be asserted at compute
+    # precision (the file caps agreement at f32 rounding)
+    dump = os.environ.get("MPASSIT_DUMP_RESULT")
+    if dump and jax.process_index() == 0:
+        arrs = {}
+        for cat in ("diag2d", "diag3d", "patch2d", "nz3d", "nzp13d",
+                    "vert3d", "cons2d", "nstd2d", "soil"):
+            for name, arr, *_ in getattr(res, cat, None) or []:
+                arrs[f"{cat}.{name}"] = arr
+        for name in ("u", "v", "hgt"):
+            if getattr(res, name, None) is not None:
+                arrs[name] = getattr(res, name)
+        np.savez(dump, **arrs)
 
     # serial write on process 0 only (the reference's rank-0 NetCDF write,
     # write_data.F90); single-host this is always True
@@ -528,7 +556,10 @@ def main(argv=None) -> int:
         logging.basicConfig(
             level=logging.DEBUG if cfg.esmf_log else logging.INFO,
             format="%(message)s")
-        run_pipeline(cfg)
+        if cfg.compute_dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+        run_pipeline(cfg, dtype=jnp.float64
+                     if cfg.compute_dtype == "float64" else jnp.float32)
     except FatalError as e:
         # error_handler/netcdf_err banner + abort (utils.F90:16-58); exit
         # code 999 truncates to 231 like mpi_abort's shell status

