@@ -137,8 +137,15 @@ def oracle_conservative(mesh, grid):
         row = {}
         for s in range(mesh.ncells):
             verts = [v for v in mesh.vertices_on_cell[s] if v >= 0]
-            poly = [gno(_xyz(mesh.lat_vertex[v], mesh.lon_vertex[v]))
+            vxyz = [_xyz(mesh.lat_vertex[v], mesh.lon_vertex[v])
                     for v in verts]
+            # gnomonic projection is 2-to-1: far-hemisphere cells (dn <= 0
+            # for any vertex) would project as phantom covers on a GLOBAL
+            # mesh. A cell genuinely overlapping the (small) target quad
+            # has every vertex well inside the near hemisphere.
+            if any(float(np.dot(v, nvec)) <= 0.1 for v in vxyz):
+                continue
+            poly = [gno(v) for v in vxyz]
             if _area(poly) < 0:
                 poly = poly[::-1]
             for k in range(4):
