@@ -146,6 +146,90 @@ def _tile_block(arr_g, nty, ntx, K):
         0, 2, 1, 3, 4).reshape(-1, K)
 
 
+def _pack_union(idx, w, ny, nx, n_src, mesh=None):
+    """Tile-block an ELL operator (or the K-concatenation of several over
+    the same source row space) and compute, per 32x32 target tile, the
+    packed union of unique source rows plus each entry's local slab index.
+
+    Returns (slab_idx (n_tiles, W), loc (n_tiles, TILE*K), loc_w, W, nty,
+    ntx, n_tiles, n_tiles_data, nty_p)."""
+    K = idx.shape[1]
+    nty = -(-ny // TY)
+    ntx = -(-nx // TX)
+    nyp, nxp = nty * TY, ntx * TX
+    idx_g = np.zeros((nyp, nxp, K), np.int64)
+    w_g = np.zeros((nyp, nxp, K), np.float64)
+    idx_g[:ny, :nx] = idx.reshape(ny, nx, K)
+    w_g[:ny, :nx] = w.reshape(ny, nx, K)
+    idx_b = _tile_block(idx_g, nty, ntx, K)
+    w_b = _tile_block(w_g, nty, ntx, K)
+
+    n_tiles = nty * ntx
+    S1 = n_src + 1                            # per-tile sentinel spacing
+    tid = idx_b.reshape(n_tiles, TILE * K)
+    valid = (w_b != 0).reshape(n_tiles, TILE * K)
+
+    # --- vectorized per-tile unique + searchsorted ---------------------
+    # offset each tile's ids into a disjoint range, sentinel = tile max
+    offs = (np.arange(n_tiles, dtype=np.int64) * S1)[:, None]
+    coded = np.where(valid, tid, n_src) + offs           # (n_tiles, T*K)
+    s = np.sort(coded, axis=1)
+    first = np.ones_like(s, dtype=bool)
+    first[:, 1:] = s[:, 1:] != s[:, :-1]
+    is_real = (s - offs) < n_src
+    uniq_mask = first & is_real
+    counts = uniq_mask.sum(axis=1)
+    max_u = max(int(counts.max()), 1)
+    if max_u > W_CAP:
+        raise ValueError(
+            f"tile references {max_u} unique source rows > {W_CAP}")
+    W = -(-max_u // W_STEP) * W_STEP
+
+    # packed sorted unique ids per tile (sentinel-padded)
+    slab_coded = np.full((n_tiles, W), -1, dtype=np.int64)
+    pos = np.cumsum(uniq_mask, axis=1) - 1
+    trows = np.broadcast_to(np.arange(n_tiles)[:, None], s.shape)
+    slab_coded[trows[uniq_mask], pos[uniq_mask]] = s[uniq_mask]
+    pad = slab_coded < 0
+    slab_coded[pad] = (offs + n_src).repeat(W, axis=1)[pad]
+
+    # global searchsorted over the disjointly-offset key space: each
+    # tile's sorted uniques are < its sentinel pads (offs + n_src),
+    # which are < the next tile's smallest key (offs + n_src + 1), so
+    # the flattened key array is globally nondecreasing
+    flat_keys = slab_coded.reshape(-1)
+    loc_flat = np.searchsorted(flat_keys, coded.reshape(-1))
+    loc = (loc_flat - np.repeat(np.arange(n_tiles), TILE * K) * W).astype(
+        np.int32).reshape(n_tiles, TILE * K)
+    loc = np.clip(np.where(valid, loc, 0), 0, W - 1)
+
+    slab_idx = np.where(pad, 0, slab_coded - offs).astype(np.int64)
+    loc_w = np.where(valid, w_b.reshape(n_tiles, TILE * K), 0.0)
+
+    # pad whole TILE-ROWS to a device multiple when sharding, so each
+    # device's tile shard is a horizontal band of the target grid — the
+    # layout both the XLA path and the fused kernel (which needs a
+    # rectangular (nty_local, ntx) grid per device) can consume, and the
+    # analog of ESMF's regDecomp row bands (model_grid.F90:694)
+    n_tiles_data = n_tiles
+    nty_p = nty
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        tpad_rows = (-nty) % n_dev
+        if tpad_rows:
+            tpad = tpad_rows * ntx
+            slab_idx = np.concatenate(
+                [slab_idx, np.zeros((tpad, W), np.int64)], axis=0)
+            loc = np.concatenate(
+                [loc, np.zeros((tpad, TILE * K), np.int32)], axis=0)
+            loc_w = np.concatenate(
+                [loc_w, np.zeros((tpad, TILE * K), np.float64)], axis=0)
+            n_tiles += tpad
+            nty_p = nty + tpad_rows
+
+    return slab_idx, loc, loc_w, W, nty, ntx, n_tiles, n_tiles_data, nty_p
+
+
 class SlabMatmulRegridder:
     """Tile-blocked ELL operator applied as batched one-hot matmuls.
 
@@ -183,78 +267,9 @@ class SlabMatmulRegridder:
         self.n_src = ell.n_src
         self.dst_shape = (ny, nx)
 
-        self.nty = -(-ny // TY)
-        self.ntx = -(-nx // TX)
-        nyp, nxp = self.nty * TY, self.ntx * TX
-        idx_g = np.zeros((nyp, nxp, K), np.int64)
-        w_g = np.zeros((nyp, nxp, K), np.float64)
-        idx_g[:ny, :nx] = idx.reshape(ny, nx, K)
-        w_g[:ny, :nx] = w.reshape(ny, nx, K)
-        idx_b = _tile_block(idx_g, self.nty, self.ntx, K)
-        w_b = _tile_block(w_g, self.nty, self.ntx, K)
-
-        n_tiles = self.nty * self.ntx
-        S1 = self.n_src + 1                       # per-tile sentinel spacing
-        tid = idx_b.reshape(n_tiles, TILE * K)
-        valid = (w_b != 0).reshape(n_tiles, TILE * K)
-
-        # --- vectorized per-tile unique + searchsorted ---------------------
-        # offset each tile's ids into a disjoint range, sentinel = tile max
-        offs = (np.arange(n_tiles, dtype=np.int64) * S1)[:, None]
-        coded = np.where(valid, tid, self.n_src) + offs       # (n_tiles, T*K)
-        s = np.sort(coded, axis=1)
-        first = np.ones_like(s, dtype=bool)
-        first[:, 1:] = s[:, 1:] != s[:, :-1]
-        is_real = (s - offs) < self.n_src
-        uniq_mask = first & is_real
-        counts = uniq_mask.sum(axis=1)
-        max_u = max(int(counts.max()), 1)
-        if max_u > W_CAP:
-            raise ValueError(
-                f"tile references {max_u} unique source rows > {W_CAP}")
-        W = -(-max_u // W_STEP) * W_STEP
-
-        # packed sorted unique ids per tile (sentinel-padded)
-        slab_coded = np.full((n_tiles, W), -1, dtype=np.int64)
-        pos = np.cumsum(uniq_mask, axis=1) - 1
-        trows = np.broadcast_to(np.arange(n_tiles)[:, None], s.shape)
-        slab_coded[trows[uniq_mask], pos[uniq_mask]] = s[uniq_mask]
-        pad = slab_coded < 0
-        slab_coded[pad] = (offs + self.n_src).repeat(W, axis=1)[pad]
-
-        # global searchsorted over the disjointly-offset key space: each
-        # tile's sorted uniques are < its sentinel pads (offs + n_src),
-        # which are < the next tile's smallest key (offs + n_src + 1), so
-        # the flattened key array is globally nondecreasing
-        flat_keys = slab_coded.reshape(-1)
-        loc_flat = np.searchsorted(flat_keys, coded.reshape(-1))
-        loc = (loc_flat - np.repeat(np.arange(n_tiles), TILE * K) * W).astype(
-            np.int32).reshape(n_tiles, TILE * K)
-        loc = np.clip(np.where(valid, loc, 0), 0, W - 1)
-
-        slab_idx = np.where(pad, 0, slab_coded - offs).astype(np.int64)
-        loc_w = np.where(valid, w_b.reshape(n_tiles, TILE * K), 0.0)
-
-        # pad whole TILE-ROWS to a device multiple when sharding, so each
-        # device's tile shard is a horizontal band of the target grid — the
-        # layout both the XLA path and the fused kernel (which needs a
-        # rectangular (nty_local, ntx) grid per device) can consume, and the
-        # analog of ESMF's regDecomp row bands (model_grid.F90:694)
-        self.n_tiles_data = n_tiles
-        self.nty_p = self.nty
-        if mesh is not None:
-            n_dev = int(np.prod(list(mesh.shape.values())))
-            tpad_rows = (-self.nty) % n_dev
-            if tpad_rows:
-                tpad = tpad_rows * self.ntx
-                slab_idx = np.concatenate(
-                    [slab_idx, np.zeros((tpad, W), np.int64)], axis=0)
-                loc = np.concatenate(
-                    [loc, np.zeros((tpad, TILE * K), np.int32)], axis=0)
-                loc_w = np.concatenate(
-                    [loc_w, np.zeros((tpad, TILE * K), np.float64)], axis=0)
-                n_tiles += tpad
-                self.nty_p = self.nty + tpad_rows
+        (slab_idx, loc, loc_w, W, self.nty, self.ntx, n_tiles,
+         self.n_tiles_data, self.nty_p) = _pack_union(
+            idx, w, ny, nx, self.n_src, mesh=mesh)
 
         self.W = W
         self.n_tiles = n_tiles
@@ -436,3 +451,211 @@ class SlabMatmulRegridder:
             if materialize:
                 out[:, :, lo:lo + cb_eff] = fetched
         return out[:, :, 0] if squeeze else out
+
+
+class PackedSlabRegridder:
+    """Several ELL operators over the SAME source row space and target
+    grid, applied as ONE kernel pass writing ONE packed output.
+
+    The production variable load routes columns to three methods (bilinear
+    958 cols, nearest 13, conservative 2 at the default CONUS lists). Run
+    separately, each method pays its own slab gather, kernel launch, and
+    LANE-padded HBM write (1024 + 128 + 128 columns written for 973
+    useful). Packed, the per-tile slab is the UNION of the methods' unique
+    source rows (one gather — the union is barely wider than bilinear's
+    own), each method keeps its own one-hot A over that union, and the
+    kernel writes each method's product into its column range of a single
+    (ny, nx, C_total->LANE) array: 1024 columns written, zero extra
+    launches. HBM writes are the measured wall on v5e (~370 GB/s pure-write
+    ceiling, see DESIGN.md), so written bytes ~= pass time.
+
+    ``ells_and_cols``: list of (ELLWeights, n_cols) in column order; the
+    apply consumes one (n_src, sum(n_cols)) source matrix laid out the same
+    way. All ELLs must share n_src and dst_shape. (Reference analog: the
+    per-bundle route handles of interp.F90:119-447, here fused across
+    bundles, not just within one.)
+    """
+
+    def __init__(self, ells_and_cols, dtype=jnp.float32,
+                 precision: str = "highest", mesh=None,
+                 backend: str = "auto"):
+        if backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if precision not in PRECISIONS:
+            raise ValueError(f"precision must be one of {PRECISIONS}")
+        self.backend = backend
+        self.precision = precision
+        self.mesh = mesh
+        ells = [e for e, _ in ells_and_cols]
+        self.col_counts = [int(c) for _, c in ells_and_cols]
+        if len({e.n_src for e in ells}) != 1:
+            raise ValueError("packed operators must share one source space")
+        if len({tuple(e.dst_shape) for e in ells}) != 1:
+            raise ValueError("packed operators must share the target grid")
+        ny, nx = ells[0].dst_shape
+        self.n_src = ells[0].n_src
+        self.dst_shape = (ny, nx)
+        self.C_total = sum(self.col_counts)
+        # column ranges per method within the packed output
+        self.ranges = []
+        off = 0
+        for c in self.col_counts:
+            self.ranges.append((off, off + c))
+            off += c
+
+        # union slab over the K-concatenation of all methods
+        Ks = [e.idx.shape[1] for e in ells]
+        idx_cat = np.concatenate(
+            [np.asarray(e.idx, np.int64) for e in ells], axis=1)
+        w_cat = np.concatenate(
+            [np.asarray(e.w, np.float64) for e in ells], axis=1)
+        (slab_idx, loc, loc_w, W, self.nty, self.ntx, n_tiles,
+         self.n_tiles_data, self.nty_p) = _pack_union(
+            idx_cat, w_cat, ny, nx, self.n_src, mesh=mesh)
+        self.W = W
+        self.n_tiles = n_tiles
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._tile_sharding = NamedSharding(mesh, P(axis, None))
+            tile3 = NamedSharding(mesh, P(axis, None, None))
+            self._src_sharding = NamedSharding(mesh, P())
+            self.slab_idx = jax.device_put(slab_idx, self._tile_sharding)
+            build = jax.jit(
+                _build_A_T, static_argnames=("n_tiles", "w_width"),
+                out_shardings=tile3)
+        else:
+            self._src_sharding = None
+            self.slab_idx = jnp.asarray(slab_idx)
+            build = _build_A_T
+
+        # per-method A over the union slab (loc slices follow the
+        # K-concatenation order)
+        loc3 = loc.reshape(n_tiles, TILE, sum(Ks))
+        w3 = loc_w.reshape(n_tiles, TILE, sum(Ks))
+        self.As = []
+        koff = 0
+        for K in Ks:
+            loc_m = loc3[:, :, koff:koff + K].reshape(-1, K)
+            w_m = w3[:, :, koff:koff + K].reshape(-1, K)
+            A = build(jnp.asarray(loc_m),
+                      jnp.asarray(w_m, dtype=jnp.float32),
+                      n_tiles=n_tiles, w_width=W)
+            if precision == "split_bf16":
+                A = jax.jit(partial(_stack_A, axis=1))(A)
+            else:
+                A = A.astype(dtype)
+            self.As.append(A)
+            koff += K
+        self._fused_sharded = None
+
+    def _use_fused(self) -> bool:
+        if self.backend == "xla":
+            return False
+        from .pallas_matmul import fused_available
+
+        if self.backend == "pallas":
+            return True
+        return (jax.default_backend() == "tpu"
+                and fused_available(self.W, self.precision))
+
+    @property
+    def Cp(self) -> int:
+        return self.C_total + ((-self.C_total) % LANE)
+
+    def _fused_full(self, slab):
+        """(n_tiles, W, Cp) union slab -> (nyp_p, nxp, Cp); columns past
+        C_total are zeroed by the kernel."""
+        from .pallas_matmul import fused_apply_packed
+
+        interpret = jax.default_backend() != "tpu"
+        ranges = tuple(self.ranges)
+        if self.mesh is None:
+            return fused_apply_packed(
+                tuple(self.As), slab, ranges=ranges, nty=self.nty,
+                ntx=self.ntx, precision=self.precision, interpret=interpret)
+        if self._fused_sharded is None:
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh.axis_names[0]
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            nty_l = self.nty_p // n_dev
+            nA = len(self.As)
+            self._fused_sharded = jax.jit(jax.shard_map(
+                lambda *args: fused_apply_packed(
+                    tuple(args[:nA]), args[nA], ranges=ranges, nty=nty_l,
+                    ntx=self.ntx, precision=self.precision,
+                    interpret=interpret),
+                mesh=self.mesh,
+                in_specs=tuple([P(ax, None, None)] * (nA + 1)),
+                out_specs=P(ax, None, None),
+                check_vma=False))
+        return self._fused_sharded(*self.As, slab)
+
+    def _xla_full(self, slab):
+        """Portable path: per-method tile matmuls placed into one padded
+        (n_tiles, TILE, Cp) block (CPU tests, non-fused fallbacks)."""
+        outs = []
+        for A, (c0, c1) in zip(self.As, self.ranges):
+            for lo in range(c0, c1, CB):
+                cw = min(CB, c1 - lo)
+                outs.append(_tile_matmul(A, slab[:, :, lo:lo + cw],
+                                         precision=self.precision))
+        pad = self.Cp - self.C_total
+        if pad:
+            outs.append(jnp.zeros(
+                (slab.shape[0], TILE, pad), jnp.float32))
+        return jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+
+    def __call__(self, src_dev):
+        """src (n_src, C_total) on device, columns laid out per
+        ``ells_and_cols``. Returns (nyp, nxp, C_total)."""
+        if src_dev.shape[1] != self.C_total:
+            raise ValueError(
+                f"packed source has {src_dev.shape[1]} columns, operator "
+                f"expects {self.C_total}")
+        if self._src_sharding is not None:
+            src_dev = jax.device_put(src_dev, self._src_sharding)
+        pad = self.Cp - self.C_total
+        if pad:
+            src_dev = jnp.pad(src_dev, ((0, 0), (0, pad)))
+        slab = jnp.take(src_dev, self.slab_idx, axis=0)
+        if self._use_fused():
+            return self._fused_full(slab)[: self.nty * TY, :, :self.C_total]
+        out = self._xla_full(slab)
+        return _unblock(out[: self.n_tiles_data], self.nty,
+                        self.ntx)[:, :, :self.C_total]
+
+    def apply_np(self, src, root_only: bool = False):
+        """Host apply, fetched in CB strips (see SlabMatmulRegridder)."""
+        from ..parallel.multihost import fetch_to_host, is_primary
+
+        src = np.asarray(src, dtype=np.float32)
+        C = self.C_total
+        ny, nx = self.dst_shape
+        materialize = not root_only or is_primary()
+        out = (np.empty((ny, nx, C), np.float32) if materialize
+               else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
+        pad = self.Cp - C
+        if pad:
+            src = np.pad(src, ((0, 0), (0, pad)))
+        src_dev = jnp.asarray(src)
+        if self._src_sharding is not None:
+            src_dev = jax.device_put(src_dev, self._src_sharding)
+        slab = jnp.take(src_dev, self.slab_idx, axis=0)
+        if self._use_fused():
+            # the packed kernel writes the FULL packed width in one pass
+            # (column ranges are absolute); fetch in CB strips
+            o = self._fused_full(slab)
+        else:
+            out_t = self._xla_full(slab)
+            o = _unblock(out_t[: self.n_tiles_data], self.nty, self.ntx)
+        for lo in range(0, C, CB):
+            cb_eff = min(CB, C - lo)
+            fetched = fetch_to_host(o[:ny, :nx, lo:lo + cb_eff],
+                                    root_only=root_only)
+            if materialize:
+                out[:, :, lo:lo + cb_eff] = fetched
+        return out

@@ -148,6 +148,88 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
     )(A, slab)
 
 
+def _kernel_packed(*refs, ranges, split):
+    """Multi-method packed kernel: refs = (*a_refs, slab_ref, out_ref).
+
+    Each a_ref is one method's A over the shared UNION slab; method m's
+    product lands in out columns [c0, c1) = ranges[m]. Unaligned range
+    boundaries (958, 971, ...) lower to masked VMEM stores — rare (two per
+    tile at the default load) and far cheaper than the LANE-padded HBM
+    writes separate per-method launches pay. Columns past ranges[-1][1]
+    are zeroed (they are crop-padding; leaving them undefined would poison
+    whole-output checksums)."""
+    *a_refs, slab_ref, out_ref = refs
+    s = slab_ref[0]
+    if split:
+        hi = s.astype(jnp.bfloat16)
+        lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s3 = jnp.concatenate([hi, lo, hi], axis=0)       # (3W, Cp)
+    else:
+        s3 = s
+    prec = None if split else jax.lax.Precision.HIGHEST
+    for a_ref, (c0, c1) in zip(a_refs, ranges):
+        for lo_c in range(c0, c1, CB):
+            cw = min(CB, c1 - lo_c)
+            out = jax.lax.dot_general(
+                a_ref[0], s3[:, lo_c:lo_c + cw],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+            out_ref[:, :, lo_c:lo_c + cw] = out.reshape(
+                out_ref.shape[0], out_ref.shape[1], cw)
+    tail = ranges[-1][1]
+    Cp = out_ref.shape[2]
+    if tail < Cp:
+        out_ref[:, :, tail:] = jnp.zeros(
+            (out_ref.shape[0], out_ref.shape[1], Cp - tail), jnp.float32)
+
+
+@partial(jax.jit,
+         static_argnames=("ranges", "nty", "ntx", "precision", "interpret"))
+def fused_apply_packed(As, slab, *, ranges, nty, ntx,
+                       precision="split_bf16", interpret=False):
+    """Packed multi-method apply: As = tuple of (n_tiles, Wa, TILE) one-hot
+    operators over ONE union slab (n_tiles, W, Cp); ranges = per-A absolute
+    output column ranges, ascending, ranges[-1][1] <= Cp, Cp % LANE == 0.
+
+    Returns (nty*TY, ntx*TX, Cp) f32 in final row-major layout; one HBM
+    write pass covers every method (see PackedSlabRegridder)."""
+    n_tiles, W, Cp = slab.shape
+    if n_tiles != nty * ntx:
+        raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
+    if Cp % LANE:
+        raise ValueError(f"column count {Cp} not a multiple of {LANE}")
+    prev = 0
+    for c0, c1 in ranges:
+        if c0 != prev or c1 <= c0:
+            raise ValueError(f"ranges must tile [0, C) contiguously: {ranges}")
+        prev = c1
+    if prev > Cp:
+        raise ValueError(f"ranges end {prev} exceeds padded width {Cp}")
+    split = precision == "split_bf16"
+    Wa = As[0].shape[1]
+    kernel = partial(_kernel_packed, ranges=ranges, split=split)
+    in_specs = (
+        [pl.BlockSpec((1, Wa, TILE), lambda i, j: (i * ntx + j, 0, 0))
+         for _ in As]
+        + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))])
+    out_specs = pl.BlockSpec((TY, TX, Cp), lambda i, j: (i, j, 0))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_BYTES)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp),
+                                       jnp.float32),
+        grid_spec=pl.GridSpec(grid=(nty, ntx), in_specs=in_specs,
+                              out_specs=out_specs),
+        interpret=interpret,
+        **kwargs,
+    )(*As, slab)
+
+
 def _fits_vmem(Wa, W, Cp, a_dtype) -> bool:
     """Full-width (un-chunked) working set: double-buffered A block, slab
     block, and out block, plus the in-kernel (3W, Cp) bf16 split stack

@@ -143,6 +143,48 @@ class _ApplyBatch:
         self.parts = []
 
 
+def _run_batches_packed(batches, rgs, weights, np_dtype, root_only) -> None:
+    """Cross-METHOD packing: when the cell-space methods (bilinear /
+    nearest / conserve) all ride SlabMatmulRegridder engines, fuse their
+    batches into ONE PackedSlabRegridder apply — one union-slab gather, one
+    kernel launch, one LANE-padded HBM write for every cell-located field
+    in the run (HBM writes are the measured wall on v5e; see
+    ops/matmul_apply.PackedSlabRegridder). Drained batches are emptied;
+    anything unpacked (vertex space, f64 engines, sharded-source engines)
+    runs normally afterwards. MPASSIT_NO_PACK=1 disables (test hook)."""
+    if os.environ.get("MPASSIT_NO_PACK") == "1":
+        return
+    from ..ops.matmul_apply import PackedSlabRegridder, SlabMatmulRegridder
+
+    cell_keys = [k for k in ("bilinear", "nearest", "conserve")
+                 if k in batches and batches[k].parts]
+    if len(cell_keys) < 2 or not all(
+            isinstance(rgs[k], SlabMatmulRegridder) for k in cell_keys):
+        return
+    ref_rg = rgs[cell_keys[0]]
+    try:
+        pk = PackedSlabRegridder(
+            [(weights[k], sum(p[0] for p in batches[k].parts))
+             for k in cell_keys],
+            precision=ref_rg.precision, mesh=ref_rg.mesh,
+            backend=ref_rg.backend)
+    except ValueError:
+        return                       # e.g. union exceeds the W cap
+    src = np.concatenate(
+        [m for k in cell_keys for _, m, _, _ in batches[k].parts],
+        axis=1).astype(np_dtype)
+    log.info("- packed apply: %s (%d cols, one kernel pass)",
+             "+".join(cell_keys), src.shape[1])
+    out = pk.apply_np(src, root_only=root_only)
+    off = 0
+    for k in cell_keys:
+        b = batches[k]
+        for kcols, _, squeeze, sink in b.parts:
+            sink(out[..., off] if squeeze else out[..., off:off + kcols])
+            off += kcols
+        b.parts = []
+
+
 def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
                  dtype=np.float32, root_only: bool = False):
     """One-shot bundle apply (kept for per-field conservative regrids,
@@ -471,6 +513,7 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         else:
             res.hgt = grid.hgt
 
+        _run_batches_packed(batches, rgs, weights, np_dtype, root_only)
         for b in batches.values():
             b.run()
         wind_batch.run()

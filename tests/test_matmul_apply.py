@@ -162,3 +162,71 @@ def test_split_hilo_residual_survives_jit():
     np.testing.assert_allclose(recon, np.asarray(x), rtol=2e-5)
     # hi alone must NOT reconstruct (otherwise the test proves nothing)
     assert np.abs(np.asarray(hi, np.float32) - np.asarray(x)).max() > 1e-4
+
+
+# --- PackedSlabRegridder: one kernel pass for several methods -------------
+
+
+@pytest.fixture(scope="module")
+def packed_problem(problem):
+    from mpassit_tpu.weights.conservative import conservative_weights
+    from mpassit_tpu.weights.nearest import nearest_weights
+
+    mesh, grid, ell_b = problem
+    ell_n = nearest_weights(mesh, grid.lat, grid.lon)
+    ell_c = conservative_weights(mesh, grid)
+    rng = np.random.default_rng(10)
+    cols = [5, 3, 2]
+    src = rng.standard_normal(
+        (mesh.ncells, sum(cols))).astype(np.float32)
+    return (ell_b, ell_n, ell_c), cols, src
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("precision", ["highest", "split_bf16"])
+def test_packed_matches_separate(packed_problem, backend, precision):
+    from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
+
+    (ell_b, ell_n, ell_c), cols, src = packed_problem
+    packed = PackedSlabRegridder(
+        list(zip((ell_b, ell_n, ell_c), cols)), precision=precision,
+        backend=backend)
+    got = packed.apply_np(src)
+    off = 0
+    for ell, c in zip((ell_b, ell_n, ell_c), cols):
+        want = SlabMatmulRegridder(ell, precision=precision,
+                                   backend=backend).apply_np(
+            src[:, off:off + c])
+        np.testing.assert_allclose(got[:, :, off:off + c], want,
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"{ell.method} {backend}")
+        off += c
+
+
+def test_packed_device_call_and_validation(packed_problem):
+    from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
+
+    (ell_b, ell_n, ell_c), cols, src = packed_problem
+    packed = PackedSlabRegridder(list(zip((ell_b, ell_n, ell_c), cols)),
+                                 backend="pallas")
+    out = np.asarray(packed(jnp.asarray(src)))
+    assert out.shape == (packed.nty * 32, packed.ntx * 32, sum(cols))
+    ny, nx = ell_b.dst_shape
+    np.testing.assert_allclose(out[:ny, :nx], packed.apply_np(src),
+                               rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError, match="columns"):
+        packed(jnp.asarray(src[:, :4]))
+
+
+def test_packed_sharded_matches_single(packed_problem):
+    from mpassit_tpu.parallel.sharding import make_grid_mesh
+    from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
+
+    (ell_b, ell_n, ell_c), cols, src = packed_problem
+    dmesh = make_grid_mesh(jax.devices()[:8])
+    single = PackedSlabRegridder(list(zip((ell_b, ell_n, ell_c), cols)),
+                                 backend="pallas")
+    sharded = PackedSlabRegridder(list(zip((ell_b, ell_n, ell_c), cols)),
+                                  backend="pallas", mesh=dmesh)
+    np.testing.assert_allclose(sharded.apply_np(src), single.apply_np(src),
+                               rtol=1e-6, atol=1e-7)

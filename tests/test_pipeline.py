@@ -312,3 +312,24 @@ def test_interp_as_bundle_false_matches_bundle(tmp_path, full_run):
     for (na, a, *_), (nb, b, *_) in zip(art.result.cons2d,
                                         bundle_art.result.cons2d):
         np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_packed_apply_matches_unpacked(tmp_path, monkeypatch):
+    """The cross-method packed apply (one union-slab kernel pass for
+    bilinear+nearest+conserve) must reproduce the per-method batch results
+    — the zero-weight union rows contribute exact 0.0 terms."""
+    mesh, cfg, _, _ = make_case(tmp_path)
+    art_packed = run_pipeline(cfg, dtype=jnp.float32)
+    monkeypatch.setenv("MPASSIT_NO_PACK", "1")
+    cfg.output_file = str(tmp_path / "out_nopack.nc")
+    art_plain = run_pipeline(cfg, dtype=jnp.float32)
+    for cat in ("diag2d", "diag3d", "patch2d", "nz3d", "nzp13d",
+                "cons2d", "nstd2d", "soil"):
+        for (na, a, *_), (nb, b, *_) in zip(
+                getattr(art_packed.result, cat) or [],
+                getattr(art_plain.result, cat) or []):
+            assert na == nb
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6,
+                                       err_msg=na)
+    np.testing.assert_allclose(art_packed.result.u, art_plain.result.u,
+                               rtol=1e-6, atol=1e-6)
