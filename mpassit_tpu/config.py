@@ -176,11 +176,20 @@ class Config:
     #: shard the apply over this many local JAX devices (0/1 = single device;
     #: -1 = all). Replaces the reference's MPI rank count (mpassit.F90:14-15).
     n_device_shards: int = 0
-    #: apply numerics: "highest" (six MXU passes, ~1e-7 rel err — the
-    #: parity-safe default, matching the reference's f64 compute / f32 file
-    #: output, CMakeLists.txt:80) or "split_bf16" (one MXU pass, ~1e-5 rel
-    #: err) for users who opt into speed over strict allclose parity.
-    apply_precision: str = "highest"
+    #: apply numerics. Default "split6_bf16": the SAME six compensated
+    #: bf16 product terms XLA's Precision.HIGHEST computes in six MXU
+    #: passes, stacked along the contraction dim into ONE pass — ~1e-7
+    #: rel err (parity-grade; the reference computes f64 but writes f32,
+    #: CMakeLists.txt:80, so 1e-7 is at the file format's own rounding)
+    #: at the full speed of the fused kernel (measured within 5% of
+    #: split_bf16 on v5e; Precision.HIGHEST was 29% slower). "highest"
+    #: (f32 operands, Precision.HIGHEST) is the strict reference
+    #: implementation split6 is validated against; "split_bf16" (~1e-5,
+    #: three stacked terms) trades accuracy for nothing at CONUS W=16 —
+    #: both stacks pad to the MXU's 128 contraction depth — but wins when
+    #: W is large (6W > 128 costs extra passes, e.g. production 2.6M-cell
+    #: meshes at W=80).
+    apply_precision: str = "split6_bf16"
     #: source-field placement across devices (the reference's route-handle
     #: halo exchange, interp.F90:123-134): "replicate" keeps the source on
     #: every device (zero collectives on the hot path), "allgather" shards

@@ -61,9 +61,20 @@ FETCH = 512
 W_STEP = 8          # slab width quantum (f32 sublane)
 W_CAP = 1024
 
-#: apply numerics: "highest" (default, six MXU passes, ~1e-7 rel err,
-#: strict parity) or "split_bf16" (one MXU pass, ~1e-5 rel err, opt-in speed).
-PRECISIONS = ("split_bf16", "highest")
+#: apply numerics:
+#: - "split6_bf16": 3-way bf16 operand split, the SIX compensated product
+#:   terms stacked along the contraction dim — ONE default-precision MXU
+#:   pass delivers ~1e-7 rel err (the same six terms XLA's
+#:   Precision.HIGHEST computes in six separate passes; with W=16 the
+#:   6W=96 stack still pads to the MXU's 128 depth, so parity-grade
+#:   accuracy costs exactly one pass). The pipeline default.
+#: - "highest": f32 operands at Precision.HIGHEST (XLA's own bf16_6x,
+#:   six MXU passes, ~1e-7) — the strict-parity reference implementation
+#:   the split6 mode is validated against.
+#: - "split_bf16": 2-way split, three stacked terms, ~1e-5 rel err — the
+#:   fastest mode when W is large enough that the 6W stack costs extra
+#:   MXU passes (6W > 128).
+PRECISIONS = ("split_bf16", "split6_bf16", "highest")
 
 
 @partial(jax.jit, static_argnames=("n_tiles", "w_width"))
@@ -108,20 +119,62 @@ def _stack_S(S, axis):
     return jnp.concatenate([hi, lo, hi], axis=axis)
 
 
+def _split_3way(x):
+    """f32 -> (b0, b1, b2) bf16 triple with x ~= b0 + b1 + b2 to ~2^-24.
+
+    Same optimization_barrier rationale as _split_hilo: without it the
+    round-trips fold to identity and the residuals collapse to zero."""
+    b0 = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    r1 = x - b0.astype(jnp.float32)
+    b1 = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    b2 = (r1 - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return b0, b1, b2
+
+
+def _stack_A6(A, axis):
+    """A f32 -> (A0, A0, A1, A0, A1, A2) stacked bf16: pairs with
+    (S0, S1, S0, S2, S1, S0) so ONE stacked contraction computes
+    A0S0 + A0S1 + A1S0 + A0S2 + A1S1 + A2S0 — the six leading terms of
+    the compensated f32 product (what XLA's Precision.HIGHEST computes in
+    six separate MXU passes; the dropped A1S2+A2S1+A2S2 terms are
+    O(2^-24) relative, so rel err lands at ~1e-7)."""
+    a0, a1, a2 = _split_3way(A)
+    return jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=axis)
+
+
+def _stack_S6(S, axis):
+    """S f32 -> (S0, S1, S0, S2, S1, S0) stacked bf16 (see _stack_A6)."""
+    s0, s1, s2 = _split_3way(S)
+    return jnp.concatenate([s0, s1, s0, s2, s1, s0], axis=axis)
+
+
+def _prep_A(A, precision, dtype):
+    """Pre-split/cast a freshly-built f32 A for the chosen precision."""
+    if precision == "split_bf16":
+        return jax.jit(partial(_stack_A, axis=1))(A)
+    if precision == "split6_bf16":
+        return jax.jit(partial(_stack_A6, axis=1))(A)
+    return A.astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def _tile_matmul(A, slab, precision="split_bf16"):
     """Batched per-tile apply: out (n_tiles, TILE, C).
 
     A: (n_tiles, 3W, TILE) bf16 pre-split  when precision == "split_bf16"
+       (n_tiles, 6W, TILE) bf16 pre-split  when precision == "split6_bf16"
        (n_tiles,  W, TILE) f32             when precision == "highest"
-    slab: (n_tiles, W, C) f32 — split on the fly in split_bf16 mode.
+    slab: (n_tiles, W, C) f32 — split on the fly in split modes.
 
-    split_bf16: one default-precision bf16 MXU pass over the stacked
-    contraction dim computes the compensated product (see _stack_A);
-    f32 accumulation via preferred_element_type.
+    split modes: one default-precision bf16 MXU pass over the stacked
+    contraction dim computes the compensated product (see _stack_A /
+    _stack_A6); f32 accumulation via preferred_element_type.
     """
     if precision == "split_bf16":
         slab = _stack_S(slab, axis=1)
+        prec = jax.lax.Precision("default")
+    elif precision == "split6_bf16":
+        slab = _stack_S6(slab, axis=1)
         prec = jax.lax.Precision("default")
     else:
         prec = jax.lax.Precision(precision)
@@ -299,10 +352,7 @@ class SlabMatmulRegridder:
             jnp.asarray(loc_w.reshape(-1, K), dtype=jnp.float32),
             n_tiles=n_tiles, w_width=W,
         )
-        if precision == "split_bf16":
-            self.A = jax.jit(partial(_stack_A, axis=1))(A)
-        else:
-            self.A = A.astype(dtype)
+        self.A = _prep_A(A, precision, dtype)
         self.duplication = n_tiles * W / max(ell.n_src, 1)
         # jitted shard_map wrapper for the fused sharded path, built lazily
         # ONCE and reused — rebuilding it per call would re-trace/re-compile
@@ -543,11 +593,7 @@ class PackedSlabRegridder:
             A = build(jnp.asarray(loc_m),
                       jnp.asarray(w_m, dtype=jnp.float32),
                       n_tiles=n_tiles, w_width=W)
-            if precision == "split_bf16":
-                A = jax.jit(partial(_stack_A, axis=1))(A)
-            else:
-                A = A.astype(dtype)
-            self.As.append(A)
+            self.As.append(_prep_A(A, precision, dtype))
             koff += K
         self._fused_sharded = None
 

@@ -60,17 +60,36 @@ CB = 256            # MXU sub-chunk (matches matmul_apply.CB)
 _VMEM_BYTES = 100 * 1024 * 1024
 
 
-def _kernel_split(a_ref, slab_ref, out_ref):
-    """split_bf16: a_ref (1, 3W, TILE) bf16 pre-stacked; slab (1, W, Cp) f32.
+def _stack_slab(s, mode):
+    """In-kernel (VPU) compensated stacking of the f32 slab block for the
+    split modes — the slab is read from HBM once, as f32, width W; the
+    bf16 parts live only in VMEM between the read and the MXU.
+
+    split_bf16:  (Sh, Sl, Sh)               pairs A's (Ah, Ah, Al)
+    split6_bf16: (S0, S1, S0, S2, S1, S0)   pairs A's (A0, A0, A1, A0,
+                 A1, A2) — the six Precision.HIGHEST terms in ONE stacked
+                 contraction (see matmul_apply._stack_A6)."""
+    if mode == "split_bf16":
+        hi = s.astype(jnp.bfloat16)
+        lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo, hi], axis=0)          # (3W, Cp)
+    b0 = s.astype(jnp.bfloat16)
+    r1 = s - b0.astype(jnp.float32)
+    b1 = r1.astype(jnp.bfloat16)
+    b2 = (r1 - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([b0, b1, b0, b2, b1, b0], axis=0)  # (6W, Cp)
+
+
+def _kernel_split(a_ref, slab_ref, out_ref, *, mode):
+    """split modes: a_ref (1, kW, TILE) bf16 pre-stacked (k = 3 or 6);
+    slab (1, W, Cp) f32, stacked on the VPU to match.
 
     The MXU dots run over CB-column sub-chunks of the VMEM-resident slab
     (wide batched matmuls compile pathologically slowly through remote
     Mosaic); the out block spans the full Cp so each tile row lands in HBM
     as one contiguous run."""
     s = slab_ref[0]
-    hi = s.astype(jnp.bfloat16)
-    lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    s3 = jnp.concatenate([hi, lo, hi], axis=0)          # (3W, Cp)
+    s3 = _stack_slab(s, mode)
     Cp = s.shape[1]
     for lo_c in range(0, Cp, CB):
         cw = min(CB, Cp - lo_c)
@@ -108,7 +127,8 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
         raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
     if Cp % LANE:
         raise ValueError(f"column count {Cp} not a multiple of {LANE}")
-    kernel = _kernel_split if precision == "split_bf16" else _kernel_highest
+    kernel = (partial(_kernel_split, mode=precision)
+              if precision.startswith("split") else _kernel_highest)
     Wa = A.shape[1]
     # One grid step per tile; the block spans the FULL column width so each
     # of the tile's 32 y-rows is one contiguous (TX * Cp * 4)-byte HBM run —
@@ -148,8 +168,9 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
     )(A, slab)
 
 
-def _kernel_packed(*refs, ranges, split):
-    """Multi-method packed kernel: refs = (*a_refs, slab_ref, out_ref).
+def _kernel_packed(*refs, ranges, split, checksum=False):
+    """Multi-method packed kernel: refs = (*a_refs, slab_ref, out_ref
+    [, cs_ref]).
 
     Each a_ref is one method's A over the shared UNION slab; method m's
     product lands in out columns [c0, c1) = ranges[m]. Unaligned range
@@ -157,16 +178,21 @@ def _kernel_packed(*refs, ranges, split):
     tile at the default load) and far cheaper than the LANE-padded HBM
     writes separate per-method launches pay. Columns past ranges[-1][1]
     are zeroed (they are crop-padding; leaving them undefined would poison
-    whole-output checksums)."""
-    *a_refs, slab_ref, out_ref = refs
-    s = slab_ref[0]
-    if split:
-        hi = s.astype(jnp.bfloat16)
-        lo = (s - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        s3 = jnp.concatenate([hi, lo, hi], axis=0)       # (3W, Cp)
+    whole-output checksums).
+
+    With ``checksum``, every computed product element is folded into a
+    per-tile sum(out*out) on the VPU while the value is still in VMEM,
+    stored to cs_ref (1, 1) — the benchmark's materialized-output guard
+    without a full HBM re-read of the output (the VPU multiply-adds
+    overlap the out-block DMA)."""
+    if checksum:
+        *a_refs, slab_ref, out_ref, cs_ref = refs
     else:
-        s3 = s
+        *a_refs, slab_ref, out_ref = refs
+    s = slab_ref[0]
+    s3 = _stack_slab(s, split) if split else s
     prec = None if split else jax.lax.Precision.HIGHEST
+    acc = jnp.zeros((), jnp.float32)
     for a_ref, (c0, c1) in zip(a_refs, ranges):
         for lo_c in range(c0, c1, CB):
             cw = min(CB, c1 - lo_c)
@@ -175,6 +201,8 @@ def _kernel_packed(*refs, ranges, split):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)
+            if checksum:
+                acc = acc + (out * out).sum()
             out_ref[:, :, lo_c:lo_c + cw] = out.reshape(
                 out_ref.shape[0], out_ref.shape[1], cw)
     tail = ranges[-1][1]
@@ -182,18 +210,29 @@ def _kernel_packed(*refs, ranges, split):
     if tail < Cp:
         out_ref[:, :, tail:] = jnp.zeros(
             (out_ref.shape[0], out_ref.shape[1], Cp - tail), jnp.float32)
+    if checksum:
+        # the block is a VMEM (8, 128) vreg tile (Mosaic's minimum f32
+        # block); the partial sum sits at [0, 0], the rest is zero
+        ii = jax.lax.broadcasted_iota(jnp.int32, cs_ref.shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, cs_ref.shape, 1)
+        cs_ref[...] = jnp.where((ii == 0) & (jj == 0), acc, 0.0)
 
 
 @partial(jax.jit,
-         static_argnames=("ranges", "nty", "ntx", "precision", "interpret"))
+         static_argnames=("ranges", "nty", "ntx", "precision", "interpret",
+                          "with_checksum"))
 def fused_apply_packed(As, slab, *, ranges, nty, ntx,
-                       precision="split_bf16", interpret=False):
+                       precision="split_bf16", interpret=False,
+                       with_checksum=False):
     """Packed multi-method apply: As = tuple of (n_tiles, Wa, TILE) one-hot
     operators over ONE union slab (n_tiles, W, Cp); ranges = per-A absolute
     output column ranges, ascending, ranges[-1][1] <= Cp, Cp % LANE == 0.
 
     Returns (nty*TY, ntx*TX, Cp) f32 in final row-major layout; one HBM
-    write pass covers every method (see PackedSlabRegridder)."""
+    write pass covers every method (see PackedSlabRegridder). With
+    ``with_checksum``, also returns (nty, ntx) per-tile sums of out*out
+    computed in-kernel from VMEM (every written value folded in, no output
+    re-read) — the benchmark's materialization guard."""
     n_tiles, W, Cp = slab.shape
     if n_tiles != nty * ntx:
         raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
@@ -206,48 +245,62 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
         prev = c1
     if prev > Cp:
         raise ValueError(f"ranges end {prev} exceeds padded width {Cp}")
-    split = precision == "split_bf16"
+    split = precision if precision.startswith("split") else None
     Wa = As[0].shape[1]
-    kernel = partial(_kernel_packed, ranges=ranges, split=split)
+    kernel = partial(_kernel_packed, ranges=ranges, split=split,
+                     checksum=with_checksum)
     in_specs = (
         [pl.BlockSpec((1, Wa, TILE), lambda i, j: (i * ntx + j, 0, 0))
          for _ in As]
         + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))])
     out_specs = pl.BlockSpec((TY, TX, Cp), lambda i, j: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp), jnp.float32)
+    if with_checksum:
+        # Mosaic requires (8, 128)-divisible blocks, so each tile's scalar
+        # partial rides one f32 vreg tile with the sum at its [0, 0]
+        # (~8 KB/tile of extra HBM writes — 0.1% of the output); the
+        # strided slice below crops back to (nty, ntx)
+        out_specs = [out_specs,
+                     pl.BlockSpec((8, 128), lambda i, j: (i, j))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((nty * 8, ntx * 128),
+                                          jnp.float32)]
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_VMEM_BYTES)
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp),
-                                       jnp.float32),
+        out_shape=out_shape,
         grid_spec=pl.GridSpec(grid=(nty, ntx), in_specs=in_specs,
                               out_specs=out_specs),
         interpret=interpret,
         **kwargs,
     )(*As, slab)
+    if with_checksum:
+        return res[0], res[1][::8, ::128]
+    return res
 
 
 def _fits_vmem(Wa, W, Cp, a_dtype) -> bool:
     """Full-width (un-chunked) working set: double-buffered A block, slab
-    block, and out block, plus the in-kernel (3W, Cp) bf16 split stack
-    _kernel_split materializes in full-width mode (6*W*Cp bytes, single
-    instance — a kernel temporary, not pipelined)."""
+    block, and out block, plus the in-kernel (kW, Cp) bf16 split stack
+    _kernel_split materializes in full-width mode (Wa*Cp*2 bytes with
+    Wa = kW, single instance — a kernel temporary, not pipelined)."""
     split = a_dtype == jnp.bfloat16
     a_bytes = Wa * TILE * (2 if split else 4)
     work = 2 * (a_bytes + W * Cp * 4 + TILE * Cp * 4)
     if split:
-        work += 6 * W * Cp
+        work += Wa * Cp * 2
     return work <= _VMEM_BYTES // 2
 
 
 def fused_available(W, precision="split_bf16") -> bool:
     """True when the fused kernel's VMEM working set fits comfortably."""
-    split = precision == "split_bf16"
-    a_bytes = 3 * W * TILE * 2 if split else W * TILE * 4
+    k = {"split_bf16": 3, "split6_bf16": 6}.get(precision)
+    a_bytes = k * W * TILE * 2 if k else W * TILE * 4
     work = 2 * (a_bytes + W * CB * 4 + TY * TX * CB * 4)
-    if split:
-        work += 6 * W * CB
+    if k:
+        work += k * W * CB * 2
     return work <= _VMEM_BYTES

@@ -131,12 +131,19 @@ def test_precision_error_bounds(problem):
                    .apply_np(src32) - ref) / scale
     err_b = np.abs(SlabMatmulRegridder(ell, precision="split_bf16")
                    .apply_np(src32) - ref) / scale
+    err_6 = np.abs(SlabMatmulRegridder(ell, precision="split6_bf16")
+                   .apply_np(src32) - ref) / scale
     assert np.quantile(err_h, 0.99) < 5e-7, err_h.max()
     assert err_h.max() < 5e-6
     assert np.quantile(err_b, 0.99) < 5e-5, err_b.max()
     assert err_b.max() < 1e-3
+    # split6 stacks the same six compensated terms Precision.HIGHEST
+    # computes — it must land in highest's error class, not split_bf16's
+    assert np.quantile(err_6, 0.99) < 5e-7, err_6.max()
+    assert err_6.max() < 5e-6
     # the speed mode really is coarser — otherwise the bounds prove nothing
     assert err_b.max() > err_h.max()
+    assert err_b.max() > err_6.max()
 
 
 def test_rejects_too_many_uniques(problem):
@@ -183,7 +190,8 @@ def packed_problem(problem):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
-@pytest.mark.parametrize("precision", ["highest", "split_bf16"])
+@pytest.mark.parametrize("precision", ["highest", "split_bf16",
+                                       "split6_bf16"])
 def test_packed_matches_separate(packed_problem, backend, precision):
     from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
 

@@ -53,6 +53,30 @@ def test_fused_matches_xla_split_bf16(rng):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_fused_matches_xla_split6_bf16(rng):
+    from mpassit_tpu.ops.matmul_apply import _stack_A6
+
+    A, slab = _rand_problem(rng)
+    A6 = jax.jit(lambda a: _stack_A6(a, axis=1))(A)
+    ref = _unblock(_tile_matmul(A6, slab, precision="split6_bf16"), 2, 3)
+    got = fused_apply(A6, slab, nty=2, ntx=3, precision="split6_bf16",
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+    # parity-grade accuracy: the six stacked terms land in the same error
+    # class as Precision.HIGHEST's six passes
+    truth = np.einsum("twp,twc->tpc", np.asarray(A, np.float64),
+                      np.asarray(slab, np.float64))
+    hi = np.asarray(_unblock(_tile_matmul(A, slab, precision="highest"),
+                             2, 3), np.float64)
+    t = np.asarray(_unblock(jnp.asarray(truth.astype(np.float32)), 2, 3),
+                   np.float64)
+    scale = np.abs(t) + 1.0
+    err6 = (np.abs(np.asarray(got, np.float64) - t) / scale).max()
+    errh = (np.abs(hi - t) / scale).max()
+    assert err6 < 5e-6, (err6, errh)
+
+
 def test_fused_split_is_compensated(rng):
     """The in-kernel hi/lo split must survive compilation: plain-bf16
     products err at ~1e-2; the compensated stack stays under ~1e-4."""
@@ -84,6 +108,35 @@ def test_regridder_pallas_backend_matches_xla(small_mesh, rng):
                                    backend="pallas")
         np.testing.assert_allclose(
             rg_p.apply_np(src), rg_x.apply_np(src), rtol=1e-6, atol=1e-7)
+
+
+def test_fused_packed_checksum_matches_output(rng):
+    """with_checksum must (a) leave the written output bit-identical to the
+    plain packed call and (b) return per-tile sums equal to sum(out*out)
+    over each written 32x32xCp block — the benchmark's materialization
+    guard computes the checksum in-kernel instead of re-reading the output
+    from HBM."""
+    from mpassit_tpu.ops.pallas_matmul import fused_apply_packed
+
+    nty, ntx, W, Cp = 2, 3, 16, 256
+    n_tiles = nty * ntx
+    A1 = jnp.asarray(rng.random((n_tiles, W, TILE)).astype(np.float32))
+    A2 = jnp.asarray(rng.random((n_tiles, W, TILE)).astype(np.float32))
+    slab = jnp.asarray(
+        rng.standard_normal((n_tiles, W, Cp)).astype(np.float32))
+    ranges = ((0, 200), (200, 230))        # tail 230..256 zeroed
+    plain = fused_apply_packed((A1, A2), slab, ranges=ranges, nty=nty,
+                               ntx=ntx, precision="highest", interpret=True)
+    out, ts = fused_apply_packed((A1, A2), slab, ranges=ranges, nty=nty,
+                                 ntx=ntx, precision="highest",
+                                 interpret=True, with_checksum=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+    assert ts.shape == (nty, ntx)
+    o = np.asarray(out, np.float64)
+    ref = np.array([[(o[i * 32:(i + 1) * 32, j * 32:(j + 1) * 32] ** 2).sum()
+                     for j in range(ntx)] for i in range(nty)])
+    np.testing.assert_allclose(np.asarray(ts, np.float64), ref,
+                               rtol=1e-4)
 
 
 def test_fused_available_guard():
