@@ -484,7 +484,11 @@ def main() -> int:
 
     nty, ntx = mm_b.nty, mm_b.ntx
     nyp, nxp = nty * 32, ntx * 32
+    # pad with the IDENTITY rotation (cosa=1, sina=0): zero-padding puts
+    # 0/0 NaNs in the padded rows of rotate_winds, poisoning any checksum
+    # that sums them
     cs = np.zeros((nyp, nxp, 2), np.float32)
+    cs[:, :, 0] = 1.0
     cs[:ny, :nx, 0] = grid.cosa.reshape(ny, nx)
     cs[:ny, :nx, 1] = grid.sina.reshape(ny, nx)
     cs_t = _tile_block(cs, nty, ntx, 2).reshape(mm_b.n_tiles, TILE, 2)

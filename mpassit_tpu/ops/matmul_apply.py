@@ -524,11 +524,20 @@ class PackedSlabRegridder:
     way. All ELLs must share n_src and dst_shape. (Reference analog: the
     per-bundle route handles of interp.F90:119-447, here fused across
     bundles, not just within one.)
+
+    ``rotate_spec``: optional (windows, cosa, sina) — windows is a tuple of
+    (cu, cv, n) packed-column triples (u levels at [cu, cu+n), v at
+    [cv, cv+n)); cosa/sina are (ny, nx) host arrays. The Q4 wind rotation
+    (interp.F90:689-749) is applied to those columns INSIDE the apply —
+    in-kernel on the fused path, immediately post-unblock on the XLA path —
+    so rotated winds come out of the same pass that produced them (the
+    reference pays a separate sweep, interp.F90:291-293; a post-hoc rotate
+    here would re-read and re-write every wind level from HBM).
     """
 
     def __init__(self, ells_and_cols, dtype=jnp.float32,
                  precision: str = "highest", mesh=None,
-                 backend: str = "auto"):
+                 backend: str = "auto", rotate_spec=None):
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
         if precision not in PRECISIONS:
@@ -597,6 +606,32 @@ class PackedSlabRegridder:
             koff += K
         self._fused_sharded = None
 
+        # in-apply wind rotation (quirk Q4): cosa/sina padded with the
+        # IDENTITY rotation (cosa=1, sina=0) outside the data region —
+        # zero-padding would put 0/0 NaNs in the padded rows
+        self.rotate = ()
+        self._cosa = self._sina = None
+        if rotate_spec is not None:
+            windows, cosa, sina = rotate_spec
+            from .pallas_matmul import _validate_rotate
+
+            _validate_rotate(tuple(windows), tuple(self.ranges), self.Cp)
+            nyp_p, nxp = self.nty_p * TY, self.ntx * TX
+            cs = np.zeros((nyp_p, nxp, 2), np.float32)
+            cs[:, :, 0] = 1.0
+            cs[:ny, :nx, 0] = np.asarray(cosa, np.float32).reshape(ny, nx)
+            cs[:ny, :nx, 1] = np.asarray(sina, np.float32).reshape(ny, nx)
+            self.rotate = tuple(tuple(w) for w in windows)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                row_shard = NamedSharding(mesh, P(mesh.axis_names[0], None))
+                self._cosa = jax.device_put(cs[:, :, 0], row_shard)
+                self._sina = jax.device_put(cs[:, :, 1], row_shard)
+            else:
+                self._cosa = jnp.asarray(cs[:, :, 0])
+                self._sina = jnp.asarray(cs[:, :, 1])
+
     def _use_fused(self) -> bool:
         if self.backend == "xla":
             return False
@@ -618,10 +653,12 @@ class PackedSlabRegridder:
 
         interpret = jax.default_backend() != "tpu"
         ranges = tuple(self.ranges)
+        rot = self.rotate
         if self.mesh is None:
             return fused_apply_packed(
                 tuple(self.As), slab, ranges=ranges, nty=self.nty,
-                ntx=self.ntx, precision=self.precision, interpret=interpret)
+                ntx=self.ntx, precision=self.precision, interpret=interpret,
+                rotate=rot, cosa=self._cosa, sina=self._sina)
         if self._fused_sharded is None:
             from jax.sharding import PartitionSpec as P
 
@@ -629,16 +666,50 @@ class PackedSlabRegridder:
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             nty_l = self.nty_p // n_dev
             nA = len(self.As)
-            self._fused_sharded = jax.jit(jax.shard_map(
-                lambda *args: fused_apply_packed(
+
+            def shard_fn(*args):
+                kw = {}
+                if rot:
+                    kw = {"rotate": rot, "cosa": args[nA + 1],
+                          "sina": args[nA + 2]}
+                return fused_apply_packed(
                     tuple(args[:nA]), args[nA], ranges=ranges, nty=nty_l,
                     ntx=self.ntx, precision=self.precision,
-                    interpret=interpret),
+                    interpret=interpret, **kw)
+
+            n_in = nA + 1 + (2 if rot else 0)
+            specs = [P(ax, None, None)] * (nA + 1) + [P(ax, None)] * (
+                2 if rot else 0)
+            self._fused_sharded = jax.jit(jax.shard_map(
+                shard_fn,
                 mesh=self.mesh,
-                in_specs=tuple([P(ax, None, None)] * (nA + 1)),
+                in_specs=tuple(specs[:n_in]),
                 out_specs=P(ax, None, None),
                 check_vma=False))
-        return self._fused_sharded(*self.As, slab)
+        extra = (self._cosa, self._sina) if rot else ()
+        return self._fused_sharded(*self.As, slab, *extra)
+
+    def _rotate_post(self, o):
+        """XLA-path equivalent of the in-kernel rotation: same elementwise
+        Q4 formula on the unblocked (nyp, nxp, C) array — bit-identical to
+        the kernel's per-block computation."""
+        if not self.rotate:
+            return o
+        from .rotate import rotate_winds
+
+        nyp = o.shape[0]
+        cosa, sina = self._cosa[:nyp], self._sina[:nyp]
+        for (cu, cv, n) in self.rotate:
+            u, v = rotate_winds(o[:, :, cu:cu + n], o[:, :, cv:cv + n],
+                                cosa, sina)
+            parts = [o[:, :, :cu], u]
+            if cv > cu + n:
+                parts.append(o[:, :, cu + n:cv])
+            parts.append(v)
+            if cv + n < o.shape[2]:
+                parts.append(o[:, :, cv + n:])
+            o = jnp.concatenate(parts, axis=2)
+        return o
 
     def _xla_full(self, slab):
         """Portable path: per-method tile matmuls placed into one padded
@@ -671,8 +742,9 @@ class PackedSlabRegridder:
         if self._use_fused():
             return self._fused_full(slab)[: self.nty * TY, :, :self.C_total]
         out = self._xla_full(slab)
-        return _unblock(out[: self.n_tiles_data], self.nty,
-                        self.ntx)[:, :, :self.C_total]
+        full = self._rotate_post(
+            _unblock(out[: self.n_tiles_data], self.nty, self.ntx))
+        return full[:, :, :self.C_total]
 
     def apply_np(self, src, root_only: bool = False):
         """Host apply, fetched in CB strips (see SlabMatmulRegridder)."""
@@ -697,7 +769,8 @@ class PackedSlabRegridder:
             o = self._fused_full(slab)
         else:
             out_t = self._xla_full(slab)
-            o = _unblock(out_t[: self.n_tiles_data], self.nty, self.ntx)
+            o = self._rotate_post(
+                _unblock(out_t[: self.n_tiles_data], self.nty, self.ntx))
         for lo in range(0, C, CB):
             cb_eff = min(CB, C - lo)
             fetched = fetch_to_host(o[:ny, :nx, lo:lo + cb_eff],

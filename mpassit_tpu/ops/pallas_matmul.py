@@ -168,9 +168,9 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
     )(A, slab)
 
 
-def _kernel_packed(*refs, ranges, split, checksum=False):
-    """Multi-method packed kernel: refs = (*a_refs, slab_ref, out_ref
-    [, cs_ref]).
+def _kernel_packed(*refs, ranges, split, checksum=False, rotate=()):
+    """Multi-method packed kernel: refs = (*a_refs, slab_ref[, cosa_ref,
+    sina_ref], out_ref[, cs_ref]).
 
     Each a_ref is one method's A over the shared UNION slab; method m's
     product lands in out columns [c0, c1) = ranges[m]. Unaligned range
@@ -180,19 +180,34 @@ def _kernel_packed(*refs, ranges, split, checksum=False):
     are zeroed (they are crop-padding; leaving them undefined would poison
     whole-output checksums).
 
-    With ``checksum``, every computed product element is folded into a
-    per-tile sum(out*out) on the VPU while the value is still in VMEM,
-    stored to cs_ref (1, 1) — the benchmark's materialized-output guard
-    without a full HBM re-read of the output (the VPU multiply-adds
-    overlap the out-block DMA)."""
+    With ``rotate`` (tuple of (cu, cv, n) windows), the earth->grid wind
+    rotation (interp.F90:689-749, quirk Q4's sequential u-then-v update)
+    is applied on the VPU to the computed product before it is written:
+    columns [cu, cu+n) are u levels, [cv, cv+n) v levels, and cosa/sina
+    arrive as (TY, TX) per-tile blocks. This removes the separate
+    rotate pass's full read+write of the wind levels (and, in the
+    pipeline, a host->device round trip of the mass winds). Both windows
+    of each entry must lie inside one CB sub-chunk (validated by the
+    caller).
+
+    With ``checksum``, every computed (post-rotation) element is folded
+    into a per-tile sum(out*out) on the VPU while the value is still in
+    VMEM — the benchmark's materialized-output guard without a full HBM
+    re-read of the output (the VPU multiply-adds overlap the out-block
+    DMA)."""
+    a_refs = list(refs[:len(ranges)])
+    rest = list(refs[len(ranges):])
+    slab_ref = rest.pop(0)
+    if rotate:
+        cosa_ref, sina_ref = rest.pop(0), rest.pop(0)
+    out_ref = rest.pop(0)
     if checksum:
-        *a_refs, slab_ref, out_ref, cs_ref = refs
-    else:
-        *a_refs, slab_ref, out_ref = refs
+        cs_ref = rest.pop(0)
     s = slab_ref[0]
     s3 = _stack_slab(s, split) if split else s
     prec = None if split else jax.lax.Precision.HIGHEST
     acc = jnp.zeros((), jnp.float32)
+    TYk, TXk = out_ref.shape[0], out_ref.shape[1]
     for a_ref, (c0, c1) in zip(a_refs, ranges):
         for lo_c in range(c0, c1, CB):
             cw = min(CB, c1 - lo_c)
@@ -201,10 +216,29 @@ def _kernel_packed(*refs, ranges, split, checksum=False):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)
+            out = out.reshape(TYk, TXk, cw)
+            for (cu, cv, n) in rotate:
+                if not (lo_c <= cu and cv + n <= lo_c + cw):
+                    continue
+                a, b = cu - lo_c, cv - lo_c
+                u = out[:, :, a:a + n]
+                v = out[:, :, b:b + n]
+                cosa = cosa_ref[...][:, :, None]
+                sina = sina_ref[...][:, :, None]
+                # quirk Q4: u updated first, v from the ROTATED u
+                tana = sina / cosa
+                u_new = (u + v * tana) / (cosa + sina * tana)
+                v_new = (v - u_new * sina) / cosa
+                parts = [out[:, :, :a], u_new]
+                if b > a + n:
+                    parts.append(out[:, :, a + n:b])
+                parts.append(v_new)
+                if b + n < cw:
+                    parts.append(out[:, :, b + n:])
+                out = jnp.concatenate(parts, axis=2)
             if checksum:
                 acc = acc + (out * out).sum()
-            out_ref[:, :, lo_c:lo_c + cw] = out.reshape(
-                out_ref.shape[0], out_ref.shape[1], cw)
+            out_ref[:, :, lo_c:lo_c + cw] = out
     tail = ranges[-1][1]
     Cp = out_ref.shape[2]
     if tail < Cp:
@@ -218,12 +252,28 @@ def _kernel_packed(*refs, ranges, split, checksum=False):
         cs_ref[...] = jnp.where((ii == 0) & (jj == 0), acc, 0.0)
 
 
+def _validate_rotate(rotate, ranges, Cp):
+    """Each (cu, cv, n) window must sit inside ONE CB sub-chunk of one
+    method's range (the kernel rotates chunk-locally)."""
+    for (cu, cv, n) in rotate:
+        ok = False
+        for c0, c1 in ranges:
+            for lo_c in range(c0, c1, CB):
+                cw = min(CB, c1 - lo_c)
+                if lo_c <= cu and cu + n <= cv and cv + n <= lo_c + cw:
+                    ok = True
+        if not ok:
+            raise ValueError(
+                f"rotate window {(cu, cv, n)} does not fit one CB={CB} "
+                f"sub-chunk of ranges {ranges}")
+
+
 @partial(jax.jit,
          static_argnames=("ranges", "nty", "ntx", "precision", "interpret",
-                          "with_checksum"))
+                          "with_checksum", "rotate"))
 def fused_apply_packed(As, slab, *, ranges, nty, ntx,
                        precision="split_bf16", interpret=False,
-                       with_checksum=False):
+                       with_checksum=False, rotate=(), cosa=None, sina=None):
     """Packed multi-method apply: As = tuple of (n_tiles, Wa, TILE) one-hot
     operators over ONE union slab (n_tiles, W, Cp); ranges = per-A absolute
     output column ranges, ascending, ranges[-1][1] <= Cp, Cp % LANE == 0.
@@ -232,7 +282,11 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
     write pass covers every method (see PackedSlabRegridder). With
     ``with_checksum``, also returns (nty, ntx) per-tile sums of out*out
     computed in-kernel from VMEM (every written value folded in, no output
-    re-read) — the benchmark's materialization guard."""
+    re-read) — the benchmark's materialization guard. With ``rotate``
+    ((cu, cv, n) windows) plus cosa/sina (nty*TY, ntx*TX) f32, the Q4
+    wind rotation is applied in-kernel before the write (pad cosa with 1.0
+    and sina with 0.0 outside the data region — zeros would inject 0/0
+    NaNs into the padding rows)."""
     n_tiles, W, Cp = slab.shape
     if n_tiles != nty * ntx:
         raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
@@ -245,14 +299,21 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
         prev = c1
     if prev > Cp:
         raise ValueError(f"ranges end {prev} exceeds padded width {Cp}")
+    if rotate:
+        _validate_rotate(rotate, ranges, Cp)
+        if cosa is None or sina is None:
+            raise ValueError("rotate windows require cosa and sina")
     split = precision if precision.startswith("split") else None
     Wa = As[0].shape[1]
     kernel = partial(_kernel_packed, ranges=ranges, split=split,
-                     checksum=with_checksum)
+                     checksum=with_checksum, rotate=rotate)
     in_specs = (
         [pl.BlockSpec((1, Wa, TILE), lambda i, j: (i * ntx + j, 0, 0))
          for _ in As]
         + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))])
+    if rotate:
+        in_specs += [pl.BlockSpec((TY, TX), lambda i, j: (i, j)),
+                     pl.BlockSpec((TY, TX), lambda i, j: (i, j))]
     out_specs = pl.BlockSpec((TY, TX, Cp), lambda i, j: (i, j, 0))
     out_shape = jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp), jnp.float32)
     if with_checksum:
@@ -270,6 +331,9 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_VMEM_BYTES)
+    operands = list(As) + [slab]
+    if rotate:
+        operands += [cosa, sina]
     res = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -277,7 +341,7 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
                               out_specs=out_specs),
         interpret=interpret,
         **kwargs,
-    )(*As, slab)
+    )(*operands)
     if with_checksum:
         return res[0], res[1][::8, ::128]
     return res

@@ -238,3 +238,92 @@ def test_packed_sharded_matches_single(packed_problem):
                                   backend="pallas", mesh=dmesh)
     np.testing.assert_allclose(sharded.apply_np(src), single.apply_np(src),
                                rtol=1e-6, atol=1e-7)
+
+
+# --- in-apply Q4 wind rotation (rotate_spec) -------------------------------
+
+
+def _rotation_fixture(ell_b, seed=3):
+    ny, nx = ell_b.dst_shape
+    rng = np.random.default_rng(seed)
+    alpha = rng.uniform(-0.3, 0.3, size=(ny, nx)).astype(np.float32)
+    return np.cos(alpha), np.sin(alpha)
+
+
+def _rotate_posthoc(out, windows, cosa, sina):
+    """The post-hoc reference: the canonical ops.rotate.rotate_winds applied
+    to the un-rotated packed output on the host."""
+    from mpassit_tpu.ops.rotate import rotate_winds
+
+    out = np.array(out)
+    for (cu, cv, n) in windows:
+        u, v = rotate_winds(jnp.asarray(out[:, :, cu:cu + n]),
+                            jnp.asarray(out[:, :, cv:cv + n]),
+                            jnp.asarray(cosa), jnp.asarray(sina))
+        out[:, :, cu:cu + n] = np.asarray(u)
+        out[:, :, cv:cv + n] = np.asarray(v)
+    return out
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_packed_in_apply_rotation_matches_posthoc(packed_problem, backend):
+    """rotate_spec pins the in-apply rotation (in-kernel on the fused path,
+    post-unblock on the XLA path) to the canonical post-hoc rotate_winds:
+    window columns rotated per quirk Q4, all other columns untouched."""
+    from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
+
+    (ell_b, ell_n, ell_c), cols, src = packed_problem
+    cosa, sina = _rotation_fixture(ell_b)
+    windows = ((0, 2, 2),)   # u = cols [0,2), v = cols [2,4) of bilinear's 5
+    spec = list(zip((ell_b, ell_n, ell_c), cols))
+    plain = PackedSlabRegridder(spec, backend=backend)
+    rot = PackedSlabRegridder(spec, backend=backend,
+                              rotate_spec=(windows, cosa, sina))
+    base = plain.apply_np(src)
+    got = rot.apply_np(src)
+    want = _rotate_posthoc(base, windows, cosa, sina)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # columns outside the windows are bit-identical to the plain apply
+    np.testing.assert_array_equal(got[:, :, 4:], base[:, :, 4:])
+    # device __call__ agrees with apply_np under rotation too
+    ny, nx = ell_b.dst_shape
+    out_dev = np.asarray(rot(jnp.asarray(src)))
+    np.testing.assert_allclose(out_dev[:ny, :nx], got, rtol=1e-6, atol=1e-6)
+
+
+def test_packed_rotation_sharded_matches_single(packed_problem):
+    """Row-sharded cosa/sina follow their output shard; identity padding
+    (cosa=1, sina=0) keeps padded rows NaN-free on every device."""
+    from mpassit_tpu.parallel.sharding import make_grid_mesh
+    from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
+
+    (ell_b, ell_n, ell_c), cols, src = packed_problem
+    cosa, sina = _rotation_fixture(ell_b, seed=4)
+    windows = ((0, 2, 2),)
+    spec = list(zip((ell_b, ell_n, ell_c), cols))
+    dmesh = make_grid_mesh(jax.devices()[:8])
+    single = PackedSlabRegridder(spec, backend="pallas",
+                                 rotate_spec=(windows, cosa, sina))
+    sharded = PackedSlabRegridder(spec, backend="pallas", mesh=dmesh,
+                                  rotate_spec=(windows, cosa, sina))
+    got_s = sharded.apply_np(src)
+    assert np.isfinite(got_s).all()
+    np.testing.assert_allclose(got_s, single.apply_np(src),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_rotate_window_validation(packed_problem):
+    """Windows must fit one CB sub-chunk of one method's range, u before v."""
+    from mpassit_tpu.ops.matmul_apply import PackedSlabRegridder
+    from mpassit_tpu.ops.pallas_matmul import _validate_rotate
+
+    with pytest.raises(ValueError, match="rotate window"):
+        _validate_rotate(((0, CB + 44, 4),), ((0, 2 * CB),), 2 * CB)
+    # v overlapping u (cv < cu+n) is rejected
+    with pytest.raises(ValueError, match="rotate window"):
+        _validate_rotate(((0, 1, 2),), ((0, CB),), CB)
+    (ell_b, ell_n, ell_c), cols, src = packed_problem
+    cosa, sina = _rotation_fixture(ell_b)
+    with pytest.raises(ValueError, match="rotate window"):
+        PackedSlabRegridder(list(zip((ell_b, ell_n, ell_c), cols)),
+                            rotate_spec=(((0, 8, 4),), cosa, sina))
