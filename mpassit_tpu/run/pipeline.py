@@ -105,14 +105,16 @@ class _ApplyBatch:
     def __init__(self, rg, dtype, root_only: bool = False):
         self.rg, self.dtype = rg, dtype
         self.root_only = root_only
-        self.parts = []                     # (n_cols, src_matrix, sink)
+        self.parts = []          # (n_cols, src_matrix, squeeze, sink, tag)
 
-    def add(self, src, sink):
+    def add(self, src, sink, tag=None):
         """src (n_src,) or (n_src, k); sink receives the (ny, nx, k) block
-        (or (ny, nx) when src was 1-D)."""
+        (or (ny, nx) when src was 1-D). ``tag`` marks parts for special
+        treatment by the packed apply (e.g. "rot_u"/"rot_v" wind columns
+        rotated in-kernel)."""
         squeeze = src.ndim == 1
         mat = src[:, None] if squeeze else src
-        self.parts.append((mat.shape[1], mat, squeeze, sink))
+        self.parts.append((mat.shape[1], mat, squeeze, sink, tag))
 
     def add_stack(self, data: InputData, specs, ndim: int, sink):
         """Pack a varlist category; sink receives [(name, arr, units,
@@ -133,17 +135,18 @@ class _ApplyBatch:
     def run(self):
         if not self.parts:
             return
-        src = np.concatenate([m for _, m, _, _ in self.parts],
+        src = np.concatenate([m for _, m, _, _, _ in self.parts],
                              axis=1).astype(self.dtype)
         out = self.rg.apply_np(src, root_only=self.root_only)
         off = 0
-        for k, _, squeeze, sink in self.parts:
+        for k, _, squeeze, sink, _ in self.parts:
             sink(out[..., off] if squeeze else out[..., off:off + k])
             off += k
         self.parts = []
 
 
-def _run_batches_packed(batches, rgs, weights, np_dtype, root_only) -> None:
+def _run_batches_packed(batches, rgs, weights, np_dtype, root_only,
+                        grid=None) -> bool:
     """Cross-METHOD packing: when the cell-space methods (bilinear /
     nearest / conserve) all ride SlabMatmulRegridder engines, fuse their
     batches into ONE PackedSlabRegridder apply — one union-slab gather, one
@@ -151,38 +154,72 @@ def _run_batches_packed(batches, rgs, weights, np_dtype, root_only) -> None:
     in the run (HBM writes are the measured wall on v5e; see
     ops/matmul_apply.PackedSlabRegridder). Drained batches are emptied;
     anything unpacked (vertex space, f64 engines, sharded-source engines)
-    runs normally afterwards. MPASSIT_NO_PACK=1 disables (test hook)."""
+    runs normally afterwards. MPASSIT_NO_PACK=1 disables (test hook).
+
+    Parts tagged "rot_u"/"rot_v" (the mass winds under Lambert) are moved
+    to the FRONT of the bilinear column range and the Q4 earth->grid
+    rotation runs INSIDE the apply (in-kernel on the fused path) — their
+    sinks receive already-rotated winds and no separate rotate pass (with
+    its device round-trip) is needed. Returns True when that in-apply
+    rotation was performed."""
     if os.environ.get("MPASSIT_NO_PACK") == "1":
-        return
+        return False
     from ..ops.matmul_apply import PackedSlabRegridder, SlabMatmulRegridder
 
     cell_keys = [k for k in ("bilinear", "nearest", "conserve")
                  if k in batches and batches[k].parts]
     if len(cell_keys) < 2 or not all(
             isinstance(rgs[k], SlabMatmulRegridder) for k in cell_keys):
-        return
+        return False
+
+    # in-apply wind rotation: pull the tagged u/v parts to the head of the
+    # bilinear range so their window sits in the first CB sub-chunk
+    rotate_spec = None
+    if grid is not None and "bilinear" in cell_keys:
+        bparts = batches["bilinear"].parts
+        tagged = {t: i for i, (_, _, _, _, t) in enumerate(bparts)
+                  if t in ("rot_u", "rot_v")}
+        if set(tagged) == {"rot_u", "rot_v"}:
+            iu, iv = tagged["rot_u"], tagged["rot_v"]
+            n_u, n_v = bparts[iu][0], bparts[iv][0]
+            if n_u == n_v:
+                rest = [p for i, p in enumerate(bparts) if i not in (iu, iv)]
+                batches["bilinear"].parts = [bparts[iu], bparts[iv]] + rest
+                rotate_spec = (((0, n_u, n_u),), grid.cosa, grid.sina)
     ref_rg = rgs[cell_keys[0]]
-    try:
-        pk = PackedSlabRegridder(
-            [(weights[k], sum(p[0] for p in batches[k].parts))
-             for k in cell_keys],
-            precision=ref_rg.precision, mesh=ref_rg.mesh,
-            backend=ref_rg.backend)
-    except ValueError:
-        return                       # e.g. union exceeds the W cap
+    ells_and_cols = [(weights[k], sum(p[0] for p in batches[k].parts))
+                     for k in cell_keys]
+    pk = None
+    if rotate_spec is not None:
+        try:
+            pk = PackedSlabRegridder(
+                ells_and_cols, precision=ref_rg.precision, mesh=ref_rg.mesh,
+                backend=ref_rg.backend, rotate_spec=rotate_spec)
+        except ValueError:
+            pk = None          # window exceeds the CB sub-chunk: rotate
+            rotate_spec = None  # post-hoc instead
+    if pk is None:
+        try:
+            pk = PackedSlabRegridder(
+                ells_and_cols, precision=ref_rg.precision, mesh=ref_rg.mesh,
+                backend=ref_rg.backend)
+        except ValueError:
+            return False             # e.g. union exceeds the W cap
     src = np.concatenate(
-        [m for k in cell_keys for _, m, _, _ in batches[k].parts],
+        [m for k in cell_keys for _, m, _, _, _ in batches[k].parts],
         axis=1).astype(np_dtype)
-    log.info("- packed apply: %s (%d cols, one kernel pass)",
-             "+".join(cell_keys), src.shape[1])
+    log.info("- packed apply: %s (%d cols, one kernel pass%s)",
+             "+".join(cell_keys), src.shape[1],
+             ", in-apply wind rotation" if rotate_spec else "")
     out = pk.apply_np(src, root_only=root_only)
     off = 0
     for k in cell_keys:
         b = batches[k]
-        for kcols, _, squeeze, sink in b.parts:
+        for kcols, _, squeeze, sink, _ in b.parts:
             sink(out[..., off] if squeeze else out[..., off:off + kcols])
             off += kcols
         b.parts = []
+    return rotate_spec is not None
 
 
 def _stack_apply(rg: Regridder, data: InputData, specs, ndim: int,
@@ -491,14 +528,20 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
             # staggered winds, first hop: mesh -> mass points
             # (interp.F90:256-289); packed into the bilinear mega-bundle
             # unless terminal fields are root-only (the mass winds must
-            # reach every process for the sharded restagger)
+            # reach every process for the sharded restagger). Under Lambert
+            # the parts carry rot tags so the packed apply can rotate them
+            # in-kernel (quirk Q4) instead of a post-hoc device round-trip.
             wb = wind_batch if root_only else bil
+            rot_lc = (routing.do_u and routing.do_v
+                      and cfg.proj_code == PROJ_LC and wb is bil)
             if routing.do_u:
                 wb.add(data.u.astype(np_dtype),
-                       lambda a: wind.__setitem__("u", a))
+                       lambda a: wind.__setitem__("u", a),
+                       tag="rot_u" if rot_lc else None)
             if routing.do_v:
                 wb.add(data.v.astype(np_dtype),
-                       lambda a: wind.__setitem__("v", a))
+                       lambda a: wind.__setitem__("v", a),
+                       tag="rot_v" if rot_lc else None)
 
         # hgt always regridded when hist (interp.F90:226-238); the target
         # HGT ('file' path) is available but the reference overwrites it
@@ -513,7 +556,8 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         else:
             res.hgt = grid.hgt
 
-        _run_batches_packed(batches, rgs, weights, np_dtype, root_only)
+        winds_rotated = _run_batches_packed(batches, rgs, weights, np_dtype,
+                                            root_only, grid=grid)
         for b in batches.values():
             b.run()
         wind_batch.run()
@@ -531,9 +575,11 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
                 res.diag2d[iv] = res.diag2d[iv][:1] + (np.asarray(v),) + res.diag2d[iv][2:]
 
         if cfg.interp_hist:
-            # staggered winds (interp.F90:256-328, quirks Q4/Q6)
+            # staggered winds (interp.F90:256-328, quirks Q4/Q6); skipped
+            # when the packed apply already rotated them in-kernel
             umass, vmass = wind.get("u"), wind.get("v")
-            if routing.do_u and routing.do_v and cfg.proj_code == PROJ_LC:
+            if (routing.do_u and routing.do_v and cfg.proj_code == PROJ_LC
+                    and not winds_rotated):
                 u, v = rotate_winds(jnp.asarray(umass), jnp.asarray(vmass),
                                     jnp.asarray(grid.cosa, dtype=dtype),
                                     jnp.asarray(grid.sina, dtype=dtype))

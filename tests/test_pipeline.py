@@ -317,7 +317,10 @@ def test_interp_as_bundle_false_matches_bundle(tmp_path, full_run):
 def test_packed_apply_matches_unpacked(tmp_path, monkeypatch):
     """The cross-method packed apply (one union-slab kernel pass for
     bilinear+nearest+conserve) must reproduce the per-method batch results
-    — the zero-weight union rows contribute exact 0.0 terms."""
+    — the zero-weight union rows contribute exact 0.0 terms. The packed run
+    also rotates the mass winds IN-APPLY (quirk Q4, Lambert) while the
+    no-pack run takes the post-hoc rotate_winds path, so u/v equality pins
+    the two rotation routes against each other end-to-end."""
     mesh, cfg, _, _ = make_case(tmp_path)
     art_packed = run_pipeline(cfg, dtype=jnp.float32)
     monkeypatch.setenv("MPASSIT_NO_PACK", "1")
@@ -332,4 +335,6 @@ def test_packed_apply_matches_unpacked(tmp_path, monkeypatch):
             np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6,
                                        err_msg=na)
     np.testing.assert_allclose(art_packed.result.u, art_plain.result.u,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(art_packed.result.v, art_plain.result.v,
                                rtol=1e-6, atol=1e-6)
