@@ -278,18 +278,24 @@ def make_pipeline_packed(n_passes, nz, packed, checksum):
     round-2-contract conservative number (charges one extra output read).
     checksum="corner": read two corner elements — pallas_call is opaque to
     XLA, so the kernel's full HBM writes still happen; this is the
-    deliverable write-only rate. Winds rotate from the materialized
-    output's u/v level slices with a full LINEAR sum in corner/fused mode
-    so the rotate work stays live (ADVICE r2)."""
+    deliverable write-only rate.
+
+    Winds (u levels at cols [0, nz), v at [nz, 2nz)) are rotated IN-KERNEL
+    (quirk Q4) exactly as run_pipeline's packed apply does — the rotate no
+    longer costs a post-kernel re-read of the wind levels, and being inside
+    the opaque pallas_call it cannot be elided in any checksum mode. Falls
+    back to the post-hoc rotate_winds pass when 2*nz exceeds the CB
+    sub-chunk (matching the production fallback)."""
     import jax
     import jax.numpy as jnp
 
-    from mpassit_tpu.ops.pallas_matmul import fused_apply_packed
+    from mpassit_tpu.ops.pallas_matmul import CB, fused_apply_packed
     from mpassit_tpu.ops.rotate import rotate_winds
 
     ranges = tuple(packed.ranges)
     nty, ntx = packed.nty, packed.ntx
     precision = packed.precision
+    rot = ((0, nz, nz),) if 2 * nz <= CB else ()
 
     def cs(x):
         if checksum == "full":
@@ -309,16 +315,22 @@ def make_pipeline_packed(n_passes, nz, packed, checksum):
             if checksum == "fused":
                 full, ts = fused_apply_packed(
                     As, slab, ranges=ranges, nty=nty, ntx=ntx,
-                    precision=precision, with_checksum=True)
+                    precision=precision, with_checksum=True,
+                    rotate=rot, cosa=cosa_g, sina=sina_g)
                 acc = acc0 + ts.sum()
             else:
                 full = fused_apply_packed(As, slab, ranges=ranges, nty=nty,
-                                          ntx=ntx, precision=precision)
+                                          ntx=ntx, precision=precision,
+                                          rotate=rot, cosa=cosa_g,
+                                          sina=sina_g)
                 acc = acc0 + cs(full)
-            # winds: first nz cols = u levels, next nz = v
-            u, v = full[:, :, :nz], full[:, :, nz:2 * nz]
-            ur, vr = rotate_winds(u, v, cosa_g, sina_g)
-            return acc + cs_live(ur) + cs_live(vr)
+            if not rot:
+                # post-hoc fallback: rotate from the materialized output's
+                # u/v level slices, kept live by a full linear sum
+                u, v = full[:, :, :nz], full[:, :, nz:2 * nz]
+                ur, vr = rotate_winds(u, v, cosa_g, sina_g)
+                acc = acc + cs_live(ur) + cs_live(vr)
+            return acc
 
         return jax.lax.fori_loop(0, n_passes, one_pass,
                                  jnp.zeros((), jnp.float32))
@@ -496,6 +508,17 @@ def main() -> int:
     sina_t = jax.device_put(jnp.asarray(cs_t[:, :, 1]), dev)
     cosa_g = jax.device_put(jnp.asarray(cs[:, :, 0]), dev)
     sina_g = jax.device_put(jnp.asarray(cs[:, :, 1]), dev)
+    # tile-blocked (n_tiles, 32, 32) layout for the packed kernel's
+    # in-kernel rotation (Mosaic block-shape rule; see pallas_matmul)
+    cs_pk = cs_t.reshape(mm_b.n_tiles, 32, 32, 2)
+    from mpassit_tpu.ops.matmul_apply import CB as _CB
+
+    rot_on = 2 * nz <= _CB
+    if rot_on:
+        cosa_pk = jax.device_put(jnp.asarray(cs_pk[..., 0]), dev)
+        sina_pk = jax.device_put(jnp.asarray(cs_pk[..., 1]), dev)
+    else:
+        cosa_pk, sina_pk = cosa_g, sina_g   # post-hoc fallback shapes
 
     # fused-kernel slabs need LANE(128)-multiple columns; the old CB=256
     # quantum wrote up to 128x the useful bytes on the narrow stacks
@@ -516,7 +539,7 @@ def main() -> int:
         return (time.perf_counter() - t0) / passes, t_c
 
     def timed_run_packed(pk, checksum):
-        args = (tuple(pk.As), pk.slab_idx, src_pk_d, cosa_g, sina_g)
+        args = (tuple(pk.As), pk.slab_idx, src_pk_d, cosa_pk, sina_pk)
         fn = make_pipeline_packed(passes, nz, pk, checksum)
         return timed(fn, args)
 
@@ -570,15 +593,19 @@ def main() -> int:
         assert verify["split_bf16"] < 1e-3, f"split verify failed: {verify}"
 
     # in-kernel checksum == re-read checksum of the written output (one
-    # pass, same slab): proves the fused guard sums exactly what lands in
-    # HBM before the timed loop trusts it
+    # pass, same slab, same in-kernel rotation as the timed loop): proves
+    # the fused guard sums exactly what lands in HBM before the timed loop
+    # trusts it
     from mpassit_tpu.ops.pallas_matmul import fused_apply_packed
 
+    rot_chk = ((0, nz, nz),) if rot_on else ()
     slab_chk = jnp.take(src_pk_d, packed.slab_idx, axis=0)
     out_chk, ts_chk = jax.jit(partial(
         fused_apply_packed, ranges=tuple(packed.ranges), nty=packed.nty,
-        ntx=packed.ntx, precision="split_bf16", with_checksum=True))(
-        tuple(packed.As), slab_chk)
+        ntx=packed.ntx, precision="split_bf16", with_checksum=True,
+        rotate=rot_chk))(
+        tuple(packed.As), slab_chk,
+        **({"cosa": cosa_pk, "sina": sina_pk} if rot_chk else {}))
     cs_kernel = float(np.asarray(ts_chk, np.float64).sum())
     cs_reread = float(np.asarray(
         jax.jit(lambda o: (o.astype(jnp.float64) ** 2).sum())(out_chk)))

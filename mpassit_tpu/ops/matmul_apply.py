@@ -608,9 +608,14 @@ class PackedSlabRegridder:
 
         # in-apply wind rotation (quirk Q4): cosa/sina padded with the
         # IDENTITY rotation (cosa=1, sina=0) outside the data region —
-        # zero-padding would put 0/0 NaNs in the padded rows
+        # zero-padding would put 0/0 NaNs in the padded rows. Two layouts:
+        # grid-shaped (nyp_p, nxp) for the XLA path's post-unblock rotate,
+        # tile-blocked (n_tiles, TY, TX) for the fused kernel (Mosaic
+        # rejects (TY, TX) blocks of a flat 2-D array: the lane dim must be
+        # 128-divisible or equal the array dim).
         self.rotate = ()
         self._cosa = self._sina = None
+        self._cosa_t = self._sina_t = None
         if rotate_spec is not None:
             windows, cosa, sina = rotate_spec
             from .pallas_matmul import _validate_rotate
@@ -621,16 +626,24 @@ class PackedSlabRegridder:
             cs[:, :, 0] = 1.0
             cs[:ny, :nx, 0] = np.asarray(cosa, np.float32).reshape(ny, nx)
             cs[:ny, :nx, 1] = np.asarray(sina, np.float32).reshape(ny, nx)
+            cs_t = _tile_block(cs, self.nty_p, self.ntx, 2).reshape(
+                n_tiles, TY, TX, 2)
             self.rotate = tuple(tuple(w) for w in windows)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 row_shard = NamedSharding(mesh, P(mesh.axis_names[0], None))
+                tile_shard = NamedSharding(
+                    mesh, P(mesh.axis_names[0], None, None))
                 self._cosa = jax.device_put(cs[:, :, 0], row_shard)
                 self._sina = jax.device_put(cs[:, :, 1], row_shard)
+                self._cosa_t = jax.device_put(cs_t[..., 0], tile_shard)
+                self._sina_t = jax.device_put(cs_t[..., 1], tile_shard)
             else:
                 self._cosa = jnp.asarray(cs[:, :, 0])
                 self._sina = jnp.asarray(cs[:, :, 1])
+                self._cosa_t = jnp.asarray(cs_t[..., 0])
+                self._sina_t = jnp.asarray(cs_t[..., 1])
 
     def _use_fused(self) -> bool:
         if self.backend == "xla":
@@ -658,7 +671,7 @@ class PackedSlabRegridder:
             return fused_apply_packed(
                 tuple(self.As), slab, ranges=ranges, nty=self.nty,
                 ntx=self.ntx, precision=self.precision, interpret=interpret,
-                rotate=rot, cosa=self._cosa, sina=self._sina)
+                rotate=rot, cosa=self._cosa_t, sina=self._sina_t)
         if self._fused_sharded is None:
             from jax.sharding import PartitionSpec as P
 
@@ -678,15 +691,14 @@ class PackedSlabRegridder:
                     interpret=interpret, **kw)
 
             n_in = nA + 1 + (2 if rot else 0)
-            specs = [P(ax, None, None)] * (nA + 1) + [P(ax, None)] * (
-                2 if rot else 0)
+            specs = [P(ax, None, None)] * n_in
             self._fused_sharded = jax.jit(jax.shard_map(
                 shard_fn,
                 mesh=self.mesh,
-                in_specs=tuple(specs[:n_in]),
+                in_specs=tuple(specs),
                 out_specs=P(ax, None, None),
                 check_vma=False))
-        extra = (self._cosa, self._sina) if rot else ()
+        extra = (self._cosa_t, self._sina_t) if rot else ()
         return self._fused_sharded(*self.As, slab, *extra)
 
     def _rotate_post(self, o):
@@ -702,7 +714,10 @@ class PackedSlabRegridder:
         for (cu, cv, n) in self.rotate:
             u, v = rotate_winds(o[:, :, cu:cu + n], o[:, :, cv:cv + n],
                                 cosa, sina)
-            parts = [o[:, :, :cu], u]
+            parts = []
+            if cu > 0:
+                parts.append(o[:, :, :cu])
+            parts.append(u)
             if cv > cu + n:
                 parts.append(o[:, :, cu + n:cv])
             parts.append(v)

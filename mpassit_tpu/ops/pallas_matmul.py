@@ -184,7 +184,11 @@ def _kernel_packed(*refs, ranges, split, checksum=False, rotate=()):
     rotation (interp.F90:689-749, quirk Q4's sequential u-then-v update)
     is applied on the VPU to the computed product before it is written:
     columns [cu, cu+n) are u levels, [cv, cv+n) v levels, and cosa/sina
-    arrive as (TY, TX) per-tile blocks. This removes the separate
+    arrive TILE-BLOCKED as (1, TY, TX) per-tile blocks (Mosaic requires
+    block minor dims divisible by (8, 128) or equal to the array dims, so
+    a (TY, TX) block of a flat (nyp, nxp) array cannot lower — the blocked
+    layout makes the block == the array's minor dims). This removes the
+    separate
     rotate pass's full read+write of the wind levels (and, in the
     pipeline, a host->device round trip of the mass winds). Both windows
     of each entry must lie inside one CB sub-chunk (validated by the
@@ -223,13 +227,18 @@ def _kernel_packed(*refs, ranges, split, checksum=False, rotate=()):
                 a, b = cu - lo_c, cv - lo_c
                 u = out[:, :, a:a + n]
                 v = out[:, :, b:b + n]
-                cosa = cosa_ref[...][:, :, None]
-                sina = sina_ref[...][:, :, None]
+                cosa = cosa_ref[0][:, :, None]
+                sina = sina_ref[0][:, :, None]
                 # quirk Q4: u updated first, v from the ROTATED u
                 tana = sina / cosa
                 u_new = (u + v * tana) / (cosa + sina * tana)
                 v_new = (v - u_new * sina) / cosa
-                parts = [out[:, :, :a], u_new]
+                # zero-width slices (e.g. a == 0) lower to 0-size vectors
+                # Mosaic rejects; emit only non-empty parts
+                parts = []
+                if a > 0:
+                    parts.append(out[:, :, :a])
+                parts.append(u_new)
                 if b > a + n:
                     parts.append(out[:, :, a + n:b])
                 parts.append(v_new)
@@ -283,10 +292,11 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
     ``with_checksum``, also returns (nty, ntx) per-tile sums of out*out
     computed in-kernel from VMEM (every written value folded in, no output
     re-read) — the benchmark's materialization guard. With ``rotate``
-    ((cu, cv, n) windows) plus cosa/sina (nty*TY, ntx*TX) f32, the Q4
-    wind rotation is applied in-kernel before the write (pad cosa with 1.0
-    and sina with 0.0 outside the data region — zeros would inject 0/0
-    NaNs into the padding rows)."""
+    ((cu, cv, n) windows) plus cosa/sina TILE-BLOCKED (nty*ntx, TY, TX)
+    f32 (see matmul_apply._tile_block), the Q4 wind rotation is applied
+    in-kernel before the write (pad cosa with 1.0 and sina with 0.0
+    outside the data region — zeros would inject 0/0 NaNs into the
+    padding rows)."""
     n_tiles, W, Cp = slab.shape
     if n_tiles != nty * ntx:
         raise ValueError(f"slab has {n_tiles} tiles, grid wants {nty * ntx}")
@@ -312,8 +322,10 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
          for _ in As]
         + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))])
     if rotate:
-        in_specs += [pl.BlockSpec((TY, TX), lambda i, j: (i, j)),
-                     pl.BlockSpec((TY, TX), lambda i, j: (i, j))]
+        in_specs += [pl.BlockSpec((1, TY, TX),
+                                  lambda i, j: (i * ntx + j, 0, 0)),
+                     pl.BlockSpec((1, TY, TX),
+                                  lambda i, j: (i * ntx + j, 0, 0))]
     out_specs = pl.BlockSpec((TY, TX, Cp), lambda i, j: (i, j, 0))
     out_shape = jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp), jnp.float32)
     if with_checksum:

@@ -163,3 +163,43 @@ def test_tpu_native(rng):
     got = np.asarray(fused_apply(A, slab, nty=2, ntx=3,
                                  precision="highest"))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="needs real TPU for Mosaic lowering")
+def test_tpu_native_packed_rotate(rng):
+    """Mosaic-lowers the packed kernel WITH in-kernel rotation on hardware —
+    interpret mode does not enforce TPU block-shape rules (a (TY, TX) block
+    of a flat 2-D cosa array passes interpret but fails Mosaic; the
+    tile-blocked (1, TY, TX) layout is load-bearing)."""
+    from mpassit_tpu.ops.pallas_matmul import fused_apply_packed
+
+    nty, ntx, W, Cp = 2, 3, 16, 256
+    n_tiles = nty * ntx
+    A1 = jnp.asarray(rng.random((n_tiles, W, TILE)).astype(np.float32))
+    A2 = jnp.asarray(rng.random((n_tiles, W, TILE)).astype(np.float32))
+    slab = jnp.asarray(
+        rng.standard_normal((n_tiles, W, Cp)).astype(np.float32))
+    ranges = ((0, 200), (200, 230))
+    alpha = rng.uniform(-0.3, 0.3, (n_tiles, 32, 32)).astype(np.float32)
+    cosa, sina = jnp.asarray(np.cos(alpha)), jnp.asarray(np.sin(alpha))
+    rot = ((0, 4, 4),)
+    base = fused_apply_packed((A1, A2), slab, ranges=ranges, nty=nty,
+                              ntx=ntx, precision="highest")
+    got = fused_apply_packed((A1, A2), slab, ranges=ranges, nty=nty,
+                             ntx=ntx, precision="highest",
+                             rotate=rot, cosa=cosa, sina=sina)
+    from mpassit_tpu.ops.rotate import rotate_winds
+
+    cg = np.asarray(cosa).reshape(nty, ntx, 32, 32).transpose(
+        0, 2, 1, 3).reshape(nty * 32, ntx * 32)
+    sg = np.asarray(sina).reshape(nty, ntx, 32, 32).transpose(
+        0, 2, 1, 3).reshape(nty * 32, ntx * 32)
+    u, v = rotate_winds(base[:, :, 0:4], base[:, :, 4:8],
+                        jnp.asarray(cg), jnp.asarray(sg))
+    np.testing.assert_allclose(np.asarray(got[:, :, 0:4]), np.asarray(u),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[:, :, 4:8]), np.asarray(v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got[:, :, 8:]),
+                                  np.asarray(base[:, :, 8:]))
