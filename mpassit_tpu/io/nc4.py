@@ -10,6 +10,9 @@ Replaces the functionality the reference consumes from netcdf-fortran/NetCDF-C
   ``DIMENSION_LIST``) so files interoperate with the netCDF-C library.
 - Classic-format files (CDF-1/2, common for MPAS history streams) are read
   through scipy.io.netcdf_file.
+- CDF-5 files (the 64-bit-data classic variant production MPAS runs write
+  for >4 GiB variables) are read by the pure-Python ``_CDF5Reader`` below —
+  scipy only understands CDF-1/2.
 """
 
 from __future__ import annotations
@@ -61,6 +64,9 @@ class _ClassicReader:
     def has_dim(self, name):
         return name in self._f.dimensions
 
+    def dim_names(self):
+        return list(self._f.dimensions)
+
     def has_var(self, name: str) -> bool:
         return name in self._f.variables
 
@@ -85,11 +91,187 @@ class _ClassicReader:
                 raise
             return default
 
+    def global_attr_names(self):
+        return list(self._f._attributes)
+
     def __enter__(self):
         return self
 
     def __exit__(self, *a):
         self.close()
+
+
+# ---- CDF-5 (64-bit data classic format) reader ----------------------------
+# Spec: the pnetcdf "CDF-5 file format specification" — the CDF-2 layout
+# with every NON_NEG count/size/offset (numrecs, nelems, name lengths, dim
+# lengths, DIMIDS, vsize, begin) widened to int64, plus the unsigned/64-bit
+# external types. Verified byte-for-byte against files written by the
+# system libnetcdf (tests/test_nc4_cdf5.py).
+
+_NC_TYPES = {
+    1: ("b", 1), 2: ("S1", 1), 3: (">i2", 2), 4: (">i4", 4),
+    5: (">f4", 4), 6: (">f8", 8), 7: ("u1", 1), 8: (">u2", 2),
+    9: (">u4", 4), 10: (">i8", 8), 11: (">u8", 8),
+}
+_STREAMING = 0xFFFFFFFFFFFFFFFF
+
+
+class _CDF5Reader:
+    """Read-only pure-Python CDF-5 parser (same protocol as the other
+    readers). Header is parsed eagerly; variable data is read lazily from
+    the open file at each ``read_var`` (record variables gathered across
+    their per-record slots)."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "rb")
+        buf = self._fh.read()
+        if buf[:4] != b"CDF\x05":
+            raise ValueError(f"{path}: not a CDF-5 file")
+        self._buf = buf
+        pos = 4
+        self.numrecs, pos = self._i8(pos)
+        self.dims, pos = self._dim_list(pos)       # [(name, length), ...]
+        self._gatts, pos = self._att_list(pos)
+        self.vars, pos = self._var_list(pos)       # name -> dict
+        # record size = sum of record-var vsizes; the single-record-var
+        # special case uses the UNPADDED size (spec: no inter-record pad)
+        rec_vars = [v for v in self.vars.values() if v["record"]]
+        self._recsize = sum(v["vsize"] for v in rec_vars)
+        if len(rec_vars) == 1:
+            v = rec_vars[0]
+            n = int(np.prod([self.dims[d][1] for d in v["dimids"][1:]],
+                            dtype=np.int64)) if len(v["dimids"]) > 1 else 1
+            self._recsize = n * _NC_TYPES[v["nc_type"]][1]
+        if self.numrecs == _STREAMING:  # infer from file size
+            if rec_vars and self._recsize:
+                first = min(v["begin"] for v in rec_vars)
+                self.numrecs = (len(buf) - first) // self._recsize
+            else:
+                self.numrecs = 0
+
+    # -- primitive parsers --
+    def _i4(self, pos):
+        return int.from_bytes(self._buf[pos:pos + 4], "big"), pos + 4
+
+    def _i8(self, pos):
+        return int.from_bytes(self._buf[pos:pos + 8], "big"), pos + 8
+
+    def _name(self, pos):
+        n, pos = self._i8(pos)
+        s = self._buf[pos:pos + n].decode("utf-8", "replace")
+        return s, pos + n + ((-n) % 4)
+
+    def _dim_list(self, pos):
+        tag, pos = self._i4(pos)
+        n, pos = self._i8(pos)
+        dims = []
+        for _ in range(n):
+            name, pos = self._name(pos)
+            ln, pos = self._i8(pos)
+            dims.append((name, ln))
+        return dims, pos
+
+    def _att_list(self, pos):
+        tag, pos = self._i4(pos)
+        n, pos = self._i8(pos)
+        atts = {}
+        for _ in range(n):
+            name, pos = self._name(pos)
+            nct, pos = self._i4(pos)
+            ne, pos = self._i8(pos)
+            dt, sz = _NC_TYPES[nct]
+            raw = self._buf[pos:pos + ne * sz]
+            pos += ne * sz + ((-(ne * sz)) % 4)
+            if nct == 2:
+                atts[name] = raw.decode("utf-8", "replace")
+            else:
+                a = np.frombuffer(raw, dt)
+                atts[name] = a.item() if a.size == 1 else a
+        return atts, pos
+
+    def _var_list(self, pos):
+        tag, pos = self._i4(pos)
+        n, pos = self._i8(pos)
+        out = {}
+        for _ in range(n):
+            name, pos = self._name(pos)
+            rank, pos = self._i8(pos)
+            dimids = []
+            for _ in range(rank):
+                d, pos = self._i8(pos)          # CDF-5: dimid is int64
+                dimids.append(d)
+            atts, pos = self._att_list(pos)
+            nct, pos = self._i4(pos)
+            vsize, pos = self._i8(pos)
+            begin, pos = self._i8(pos)
+            record = bool(dimids) and self.dims[dimids[0]][1] == 0
+            out[name] = dict(dimids=dimids, atts=atts, nc_type=nct,
+                             vsize=vsize, begin=begin, record=record)
+        return out, pos
+
+    # -- reader protocol --
+    def close(self):
+        self._fh.close()
+        self._buf = b""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def _dim_map(self):
+        return {nm: ln for nm, ln in self.dims}
+
+    def has_dim(self, name):
+        return name in self._dim_map()
+
+    def dim_names(self):
+        return [nm for nm, _ in self.dims]
+
+    def dim_size(self, name: str) -> int:
+        ln = self._dim_map()[name]
+        return self.numrecs if ln == 0 else ln
+
+    def has_var(self, name: str) -> bool:
+        return name in self.vars
+
+    def var_names(self):
+        return list(self.vars)
+
+    def var_dims(self, name: str):
+        return [self.dims[d][0] for d in self.vars[name]["dimids"]]
+
+    def read_var(self, name: str):
+        v = self.vars[name]
+        dt, sz = _NC_TYPES[v["nc_type"]]
+        shape = [self.dims[d][1] for d in v["dimids"]]
+        if not v["record"]:
+            cnt = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            a = np.frombuffer(self._buf, dt, count=cnt, offset=v["begin"])
+            return a.reshape(shape)
+        shape[0] = self.numrecs
+        per = int(np.prod(shape[1:], dtype=np.int64)) if shape[1:] else 1
+        recs = [np.frombuffer(self._buf, dt, count=per,
+                              offset=v["begin"] + r * self._recsize)
+                for r in range(self.numrecs)]
+        a = (np.stack(recs) if recs
+             else np.empty((0, *shape[1:]), np.dtype(dt)))
+        return a.reshape(shape)
+
+    def var_attrs(self, name: str):
+        return dict(self.vars[name]["atts"])
+
+    def get_attr(self, name: str, default=KeyError):
+        try:
+            return self._gatts[name]
+        except KeyError:
+            if default is KeyError:
+                raise
+            return default
+
+    def global_attr_names(self):
+        return list(self._gatts)
 
 
 _NC_DIM_NAME = "This is a netCDF dimension but not a netCDF variable. %10d"
@@ -144,6 +326,9 @@ class NetCDF4File:
     def has_dim(self, name: str) -> bool:
         return name in self._f and self._is_dim(self._f[name])
 
+    def dim_names(self):
+        return list(self._dimids)
+
     def dim_size(self, name: str) -> int:
         return self._f[name].shape[0]
 
@@ -190,6 +375,9 @@ class NetCDF4File:
             if default is KeyError:
                 raise
             return default
+
+    def global_attr_names(self):
+        return [k for k in self._f.attrs if not k.startswith("_NC")]
 
     # -- writing -----------------------------------------------------------
 
@@ -262,6 +450,9 @@ def open_dataset(path: str):
         magic = f.read(8)
     if magic.startswith(_HDF5_MAGIC):
         return NetCDF4File(path, "r")
+    if magic[:4] == b"CDF\x05":
+        # 64-bit-data classic (large MPAS runs); scipy reads CDF-1/2 only
+        return _CDF5Reader(path)
     if magic[:4] in _CDF_MAGICS:
         return _ClassicReader(path)
     # HDF5 superblock may be at an offset in some files; try h5py anyway
