@@ -21,10 +21,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-assert jax.devices()[0].platform == "cpu"
-assert len(jax.devices()) == 8
+# MPASSIT_TEST_TPU=1 keeps the real TPU platform so the
+# hardware-only Mosaic lowering tests (skipped on CPU) can run:
+#   MPASSIT_TEST_TPU=1 python -m pytest tests/test_pallas_matmul.py -k tpu
+if os.environ.get("MPASSIT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
