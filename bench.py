@@ -259,7 +259,7 @@ def make_write_wall(n_passes, nty, ntx, Cp):
     return run
 
 
-def make_pipeline_packed(n_passes, nz, packed, checksum):
+def make_pipeline_packed(n_passes, nz, packed, checksum, rot):
     """The production-path bench pipeline: ALL THREE methods apply through
     ONE packed Mosaic kernel pass over the union slab
     (ops/matmul_apply.PackedSlabRegridder) — one gather, one launch, one
@@ -283,19 +283,20 @@ def make_pipeline_packed(n_passes, nz, packed, checksum):
     Winds (u levels at cols [0, nz), v at [nz, 2nz)) are rotated IN-KERNEL
     (quirk Q4) exactly as run_pipeline's packed apply does — the rotate no
     longer costs a post-kernel re-read of the wind levels, and being inside
-    the opaque pallas_call it cannot be elided in any checksum mode. Falls
-    back to the post-hoc rotate_winds pass when 2*nz exceeds the CB
-    sub-chunk (matching the production fallback)."""
+    the opaque pallas_call it cannot be elided in any checksum mode.
+    ``rot`` is the window tuple decided ONCE in main() (empty = post-hoc
+    rotate_winds fallback, matching production when 2*nz exceeds the CB
+    sub-chunk); main() shapes cosa/sina to match — tile-blocked for the
+    kernel, grid-shaped for the fallback."""
     import jax
     import jax.numpy as jnp
 
-    from mpassit_tpu.ops.pallas_matmul import CB, fused_apply_packed
+    from mpassit_tpu.ops.pallas_matmul import fused_apply_packed
     from mpassit_tpu.ops.rotate import rotate_winds
 
     ranges = tuple(packed.ranges)
     nty, ntx = packed.nty, packed.ntx
     precision = packed.precision
-    rot = ((0, nz, nz),) if 2 * nz <= CB else ()
 
     def cs(x):
         if checksum == "full":
@@ -513,8 +514,10 @@ def main() -> int:
     cs_pk = cs_t.reshape(mm_b.n_tiles, 32, 32, 2)
     from mpassit_tpu.ops.matmul_apply import CB as _CB
 
-    rot_on = 2 * nz <= _CB
-    if rot_on:
+    # the ONE rotation-gate decision: in-kernel windows when they fit a CB
+    # sub-chunk, else empty -> post-hoc fallback; cosa/sina layout follows
+    rot = ((0, nz, nz),) if 2 * nz <= _CB else ()
+    if rot:
         cosa_pk = jax.device_put(jnp.asarray(cs_pk[..., 0]), dev)
         sina_pk = jax.device_put(jnp.asarray(cs_pk[..., 1]), dev)
     else:
@@ -540,7 +543,7 @@ def main() -> int:
 
     def timed_run_packed(pk, checksum):
         args = (tuple(pk.As), pk.slab_idx, src_pk_d, cosa_pk, sina_pk)
-        fn = make_pipeline_packed(passes, nz, pk, checksum)
+        fn = make_pipeline_packed(passes, nz, pk, checksum, rot)
         return timed(fn, args)
 
     def timed_run_fused(mm3, precision, checksum):
@@ -598,14 +601,13 @@ def main() -> int:
     # trusts it
     from mpassit_tpu.ops.pallas_matmul import fused_apply_packed
 
-    rot_chk = ((0, nz, nz),) if rot_on else ()
     slab_chk = jnp.take(src_pk_d, packed.slab_idx, axis=0)
     out_chk, ts_chk = jax.jit(partial(
         fused_apply_packed, ranges=tuple(packed.ranges), nty=packed.nty,
         ntx=packed.ntx, precision="split_bf16", with_checksum=True,
-        rotate=rot_chk))(
+        rotate=rot))(
         tuple(packed.As), slab_chk,
-        **({"cosa": cosa_pk, "sina": sina_pk} if rot_chk else {}))
+        **({"cosa": cosa_pk, "sina": sina_pk} if rot else {}))
     cs_kernel = float(np.asarray(ts_chk, np.float64).sum())
     cs_reread = float(np.asarray(
         jax.jit(lambda o: (o.astype(jnp.float64) ** 2).sum())(out_chk)))

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 _HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
-_CDF_MAGICS = (b"CDF\x01", b"CDF\x02", b"CDF\x05")
+_CDF_MAGICS = (b"CDF\x01", b"CDF\x02")   # scipy-readable; CDF\x05 has its own reader
 
 
 def _decode(v):
@@ -123,8 +123,13 @@ class _CDF5Reader:
     their per-record slots)."""
 
     def __init__(self, path: str):
+        import mmap
+
+        # mmap, not read(): CDF-5 exists precisely because variables exceed
+        # 4 GiB — eager reads would materialize the whole file in RAM.
+        # np.frombuffer reads lazily from the mapping.
         self._fh = open(path, "rb")
-        buf = self._fh.read()
+        buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
         if buf[:4] != b"CDF\x05":
             raise ValueError(f"{path}: not a CDF-5 file")
         self._buf = buf
@@ -211,8 +216,10 @@ class _CDF5Reader:
 
     # -- reader protocol --
     def close(self):
-        self._fh.close()
+        if hasattr(self._buf, "close"):
+            self._buf.close()
         self._buf = b""
+        self._fh.close()
 
     def __enter__(self):
         return self
@@ -249,7 +256,9 @@ class _CDF5Reader:
         if not v["record"]:
             cnt = int(np.prod(shape, dtype=np.int64)) if shape else 1
             a = np.frombuffer(self._buf, dt, count=cnt, offset=v["begin"])
-            return a.reshape(shape)
+            # .copy(): hand the caller an OWNED array — a view would pin the
+            # mmap and make close() raise BufferError
+            return a.reshape(shape).copy()
         shape[0] = self.numrecs
         per = int(np.prod(shape[1:], dtype=np.int64)) if shape[1:] else 1
         recs = [np.frombuffer(self._buf, dt, count=per,

@@ -561,6 +561,14 @@ class PackedSlabRegridder:
         for c in self.col_counts:
             self.ranges.append((off, off + c))
             off += c
+        # validate rotate windows BEFORE the expensive union pack: callers
+        # fall back to a rotation-free regridder on ValueError, and a late
+        # raise would make them pay _pack_union twice
+        if rotate_spec is not None:
+            from .pallas_matmul import _validate_rotate
+
+            _validate_rotate(tuple(rotate_spec[0]), tuple(self.ranges),
+                             self.Cp)
 
         # union slab over the K-concatenation of all methods
         Ks = [e.idx.shape[1] for e in ells]
@@ -618,9 +626,6 @@ class PackedSlabRegridder:
         self._cosa_t = self._sina_t = None
         if rotate_spec is not None:
             windows, cosa, sina = rotate_spec
-            from .pallas_matmul import _validate_rotate
-
-            _validate_rotate(tuple(windows), tuple(self.ranges), self.Cp)
             nyp_p, nxp = self.nty_p * TY, self.ntx * TX
             cs = np.zeros((nyp_p, nxp, 2), np.float32)
             cs[:, :, 0] = 1.0
