@@ -714,10 +714,12 @@ def main() -> int:
         "checksum_note": "headline: in-kernel per-tile sum(out*out) over "
                          "every written element (VPU, pre-DMA, no output "
                          "re-read; asserted equal to a re-read checksum); "
-                         "value_reread charges a full output re-read; "
-                         "write_only = two-corner checksum (kernel HBM "
-                         "writes are not elidable through the opaque "
-                         "pallas_call)",
+                         "the Q4 wind rotation is applied IN-KERNEL to the "
+                         "u/v windows, so each pass includes it (as "
+                         "production does); value_reread charges a full "
+                         "output re-read; write_only = two-corner checksum "
+                         "(kernel HBM writes are not elidable through the "
+                         "opaque pallas_call)",
     }
     if t_xla_mat is not None:
         result["value_xla_materialized"] = round(T * total_cols / t_xla_mat, 1)

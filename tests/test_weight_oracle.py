@@ -239,3 +239,36 @@ def test_oracle_on_irregular_synthetic_mesh():
     elln = nearest_weights(mesh, lat, lon)
     assert_weight_dicts_close(
         ell_to_dicts(elln), oracle_nearest(mesh, lat, lon), tol=0.0)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_oracle_fuzz_sweep(seed):
+    """Seeded fuzz: random mesh density, random target scatter (including
+    points far outside the mesh interior, which must unmap identically in
+    generator and oracle) — every seed pins all three generators to the
+    independent oracle."""
+    from mpassit_tpu.mesh.synthetic import synthetic_voronoi_mesh
+    from mpassit_tpu.weights.conservative import conservative_weights
+
+    from test_weights import coarse_lambert_grid
+
+    rng = np.random.default_rng(seed)
+    ncells = int(rng.integers(150, 500))
+    mesh = synthetic_voronoi_mesh(ncells=ncells, nz=2, nsoil=1, seed=seed)
+    n_t = int(rng.integers(8, 24))
+    lat = rng.uniform(-75, 75, size=n_t)
+    lon = rng.uniform(-179, 179, size=n_t)
+    ell = bilinear_cell_weights(mesh, lat, lon)
+    assert_weight_dicts_close(
+        ell_to_dicts(ell), oracle_bilinear_cell(mesh, lat, lon), tol=1e-12)
+    elln = nearest_weights(mesh, lat, lon)
+    assert_weight_dicts_close(
+        ell_to_dicts(elln), oracle_nearest(mesh, lat, lon), tol=0.0)
+    # conservative on a small random Lambert grid over the mesh
+    nx = int(rng.integers(6, 12))
+    ny = int(rng.integers(5, 10))
+    grid = coarse_lambert_grid(nx=nx, ny=ny,
+                               dx=float(rng.uniform(150e3, 400e3)))
+    ellc = conservative_weights(mesh, grid)
+    assert_weight_dicts_close(
+        ell_to_dicts(ellc), oracle_conservative(mesh, grid), tol=1e-9)
