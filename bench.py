@@ -137,6 +137,14 @@ def build_conus_problem(ncells, nx, ny, nz, nsoil, cache):
     })
     grid = build_target_grid(cfg)
     mesh = _cached_mesh(cache.dir, ncells, nz, nsoil)
+    # production parity: run_pipeline renumbers source cells along a
+    # target-space Z-curve by default (cell_order='morton'), which makes
+    # each tile's slab gather read a compact HBM span — the bench must
+    # measure the same numbering (BENCH_MORTON=0 for file order)
+    if os.environ.get("BENCH_MORTON") != "0":
+        from mpassit_tpu.mesh.reorder import reorder_cells_morton
+
+        mesh = reorder_cells_morton(mesh, grid.proj).mesh
     fpm, fpg = mesh.fingerprint(), grid_fingerprint(grid)
     # label the reported times honestly: a warm run loads .npz weight
     # files instead of generating (the RegridStore-cache win itself)
@@ -736,8 +744,14 @@ def main() -> int:
             full_ncells, nx, ny, 2, 1, cache)
         ft_setup = time.perf_counter() - t0
         fmm = SlabMatmulRegridder(fb, precision="split_bf16")
+        # 512-col stack (not CHUNK=256): at W=80 the stacked-bf16 A is
+        # ~1 GB of HBM reads per pass — amortizing it over 2x the columns
+        # raises delivered pv/s substantially and matches the production
+        # bundle widths better. ~10.5 GB live (src 5.3 + out 4.1 + A 1.0)
+        # fits v5e's 16 GB; BENCH_FULL_COLS=256 restores the old config.
+        FCOLS = getenv_int("BENCH_FULL_COLS", 512)
         fsrc = rng.standard_normal(
-            (fmesh.ncells, CHUNK)).astype(np.float32)
+            (fmesh.ncells, FCOLS)).astype(np.float32)
         fsrc_d = jax.device_put(jnp.asarray(fsrc), dev)
 
         import jax.numpy as jnp2
@@ -774,8 +788,9 @@ def main() -> int:
             "t_weightgen_s": ft_weights,
             "t_setup_s": round(ft_setup, 1),
             "slab_W": fmm.W,
-            "t_apply_256col_s": round(ft_apply, 4),
-            "value_materialized": round(T * CHUNK / ft_apply, 1),
+            "n_cols": FCOLS,
+            "t_apply_pass_s": round(ft_apply, 4),
+            "value_materialized": round(T * FCOLS / ft_apply, 1),
             "t_compile_s": round(ft_compile, 2),
         }
 
