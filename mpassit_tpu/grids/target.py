@@ -13,6 +13,8 @@ WRF files is the same ``(south_north, west_east)``.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import os
 
 import numpy as np
 
@@ -244,8 +246,59 @@ def target_grid_from_file(path: str, cfg=None) -> TargetGrid:
     return g
 
 
+#: arrays persisted by the grid cache (order matters for the npz layout)
+_GRID_FIELDS = ("lat", "lon", "mapfac_m", "lat_u", "lon_u", "mapfac_u",
+                "lat_v", "lon_v", "mapfac_v", "lat_corner", "lon_corner",
+                "cosa", "sina", "cosa_u", "sina_u", "cosa_v", "sina_v")
+
+
+def _grid_cache_path(cfg, cache_dir: str) -> str:
+    """Cache key over every input target_grid_from_params consumes.
+
+    known_* (NOT ref_lat/ref_lon) anchor the projection, so the key is
+    stable across reruns even though the builder overwrites cfg.ref_lat
+    with the domain center (model_grid.F90:1107)."""
+    parts = (2, cfg.proj_code, cfg.i_target, cfg.j_target, cfg.is_regional,
+             cfg.known_lat, cfg.known_lon, cfg.known_x, cfg.known_y,
+             cfg.truelat1, cfg.truelat2, cfg.stand_lon, cfg.pole_lat,
+             cfg.pole_lon, cfg.dx, cfg.dy, cfg.dxkm, cfg.dykm)
+    h = hashlib.sha256(repr(parts).encode()).hexdigest()[:20]
+    return os.path.join(cache_dir, f"grid_{h}")
+
+
 def build_target_grid(cfg) -> TargetGrid:
-    """define_target_grid dispatch (model_grid.F90:630-642)."""
+    """define_target_grid dispatch (model_grid.F90:630-642).
+
+    The params path is disk-cached (keyed by every parameter it consumes):
+    the 4-stagger lat/lon sweep is ~3 s of scalar-free but trig-heavy host
+    work per run at CONUS size (the reference's hot loop,
+    model_grid.F90:2212-2217) that reruns on the same namelist need not
+    repeat. The file path stays uncached (the file IS the cache)."""
     if cfg.target_grid_type.strip() == "file":
         return target_grid_from_file(cfg.file_target_grid, cfg)
-    return target_grid_from_params(cfg)
+    cache_dir = getattr(cfg, "weights_cache_dir", "") or ""
+    if not cache_dir:
+        return target_grid_from_params(cfg)
+    from ..diskcache import load_arrays, save_arrays
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = _grid_cache_path(cfg, cache_dir)
+    hit = load_arrays(path)
+    if hit is not None:
+        meta, arrs = hit
+        g = TargetGrid(nx=cfg.i_target, ny=cfg.j_target,
+                       proj_code=cfg.proj_code,
+                       is_regional=cfg.is_regional,
+                       proj=proj_from_config(cfg))
+        for name in _GRID_FIELDS:
+            if name in arrs:
+                setattr(g, name, arrs[name])
+        # replay the CEN_LAT/CEN_LON overwrite (model_grid.F90:1107)
+        cfg.ref_lat = float(meta["ref_lat"])
+        cfg.ref_lon = float(meta["ref_lon"])
+        return g
+    g = target_grid_from_params(cfg)
+    save_arrays(path, {"ref_lat": cfg.ref_lat, "ref_lon": cfg.ref_lon},
+                {n: getattr(g, n) for n in _GRID_FIELDS
+                 if getattr(g, n) is not None})
+    return g

@@ -228,7 +228,11 @@ class _CDF5Reader:
         self.close()
 
     def _dim_map(self):
-        return {nm: ln for nm, ln in self.dims}
+        m = getattr(self, "_dimmap", None)
+        if m is None:
+            m = {nm: ln for nm, ln in self.dims}
+            self._dimmap = m
+        return m
 
     def has_dim(self, name):
         return name in self._dim_map()
@@ -261,12 +265,20 @@ class _CDF5Reader:
             return a.reshape(shape).copy()
         shape[0] = self.numrecs
         per = int(np.prod(shape[1:], dtype=np.int64)) if shape[1:] else 1
-        recs = [np.frombuffer(self._buf, dt, count=per,
-                              offset=v["begin"] + r * self._recsize)
-                for r in range(self.numrecs)]
-        a = (np.stack(recs) if recs
-             else np.empty((0, *shape[1:]), np.dtype(dt)))
-        return a.reshape(shape)
+        if self.numrecs == 0:
+            return np.empty(shape, np.dtype(dt))
+        # one strided view over the whole record block (each record's slot
+        # for this var is rec_bytes wide, slots _recsize apart), then ONE
+        # owned copy — O(1) Python work instead of a per-record loop
+        rec_bytes = per * sz
+        raw = np.frombuffer(
+            self._buf, np.uint8,
+            count=(self.numrecs - 1) * self._recsize + rec_bytes,
+            offset=v["begin"])
+        view = np.lib.stride_tricks.as_strided(
+            raw, shape=(self.numrecs, rec_bytes),
+            strides=(self._recsize, 1))
+        return np.ascontiguousarray(view).view(np.dtype(dt)).reshape(shape)
 
     def var_attrs(self, name: str):
         return dict(self.vars[name]["atts"])

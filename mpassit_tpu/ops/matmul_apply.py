@@ -37,6 +37,8 @@ TPU tunnel in this environment makes large host transfers very slow).
 
 from __future__ import annotations
 
+import hashlib
+import os
 from functools import partial
 
 import jax
@@ -283,6 +285,68 @@ def _pack_union(idx, w, ny, nx, n_src, mesh=None):
     return slab_idx, loc, loc_w, W, nty, ntx, n_tiles, n_tiles_data, nty_p
 
 
+#: pack-cache layout version — bump when _pack_union's output changes
+_PACK_VERSION = 2
+
+
+def _pack_cache_path(cache_dir, ell_fps, ny, nx, n_dev):
+    h = hashlib.sha256()
+    h.update(f"v{_PACK_VERSION}|{TY}x{TX}|{W_STEP}|{W_CAP}|"
+             f"{ny}x{nx}|{n_dev}".encode())
+    for fp in ell_fps:
+        h.update(b"|" + fp.encode())
+    return os.path.join(cache_dir, f"pack_{h.hexdigest()[:20]}")
+
+
+def _pack_compact(out):
+    """Shrink _pack_union's output to the dtypes the consumers need: loc
+    values are < W (uint8/int16 instead of int32 — also the host->device
+    bytes), and loc_w only ever feeds the f32 A build."""
+    slab_idx, loc, loc_w, W, nty, ntx, n_tiles, ntd, nty_p = out
+    ldt = np.uint8 if W <= 256 else (np.int16 if W <= 32767 else np.int32)
+    return (slab_idx, loc.astype(ldt), loc_w.astype(np.float32), W, nty,
+            ntx, n_tiles, ntd, nty_p)
+
+
+def _pack_union_cached(idx_w_fn, ny, nx, n_src, mesh=None, cache_dir=None,
+                       ell_fps=None):
+    """Disk-cached _pack_union (VERDICT r3 item 4): the host-side union
+    pack is a pure function of the ELL operators and the tile geometry —
+    ~8 s per warm run at CONUS scale that the reference re-pays every run
+    inside RegridStore (interp.F90:123-128) but a rerun-oriented tool
+    should not. Keyed by the ELLs' content fingerprints so any weight
+    change invalidates. ``idx_w_fn`` is a thunk returning the (idx, w)
+    K-concatenation — only evaluated on a miss (the concatenation itself
+    is ~1 s of host time at CONUS scale)."""
+    from ..diskcache import load_arrays, save_arrays
+
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    path = None
+    if cache_dir and ell_fps:
+        os.makedirs(cache_dir, exist_ok=True)
+        path = _pack_cache_path(cache_dir, ell_fps, ny, nx, n_dev)
+        hit = load_arrays(path)
+        if hit is not None:
+            try:
+                meta, arrs = hit
+                return (arrs["slab_idx"], arrs["loc"], arrs["loc_w"],
+                        int(meta["W"]), int(meta["nty"]), int(meta["ntx"]),
+                        int(meta["n_tiles"]), int(meta["n_tiles_data"]),
+                        int(meta["nty_p"]))
+            except KeyError:
+                pass  # incomplete entry: rebuild
+    idx, w = idx_w_fn()
+    out = _pack_compact(_pack_union(idx, w, ny, nx, n_src, mesh=mesh))
+    if path is not None:
+        slab_idx, loc, loc_w, W, nty, ntx, n_tiles, ntd, nty_p = out
+        save_arrays(
+            path,
+            {"W": W, "nty": nty, "ntx": ntx, "n_tiles": n_tiles,
+             "n_tiles_data": ntd, "nty_p": nty_p},
+            {"slab_idx": slab_idx, "loc": loc, "loc_w": loc_w})
+    return out
+
+
 class SlabMatmulRegridder:
     """Tile-blocked ELL operator applied as batched one-hot matmuls.
 
@@ -303,7 +367,7 @@ class SlabMatmulRegridder:
     """
 
     def __init__(self, ell, dtype=jnp.float32, precision: str = "highest",
-                 mesh=None, backend: str = "auto"):
+                 mesh=None, backend: str = "auto", cache_dir=None):
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
@@ -311,18 +375,20 @@ class SlabMatmulRegridder:
             raise ValueError(f"precision must be one of {PRECISIONS}")
         self.precision = precision
         self.mesh = mesh
+        self.cache_dir = cache_dir
         if len(ell.dst_shape) != 2:
             raise ValueError("SlabMatmulRegridder needs a 2-D dst_shape")
         ny, nx = ell.dst_shape
-        idx = np.asarray(ell.idx, dtype=np.int64)
-        w = np.asarray(ell.w, dtype=np.float64)
-        K = idx.shape[1]
+        K = ell.idx.shape[1]
         self.n_src = ell.n_src
         self.dst_shape = (ny, nx)
 
         (slab_idx, loc, loc_w, W, self.nty, self.ntx, n_tiles,
-         self.n_tiles_data, self.nty_p) = _pack_union(
-            idx, w, ny, nx, self.n_src, mesh=mesh)
+         self.n_tiles_data, self.nty_p) = _pack_union_cached(
+            lambda: (np.asarray(ell.idx, dtype=np.int64),
+                     np.asarray(ell.w, dtype=np.float64)),
+            ny, nx, self.n_src, mesh=mesh, cache_dir=cache_dir,
+            ell_fps=(ell.fingerprint(),) if cache_dir else None)
 
         self.W = W
         self.n_tiles = n_tiles
@@ -537,7 +603,7 @@ class PackedSlabRegridder:
 
     def __init__(self, ells_and_cols, dtype=jnp.float32,
                  precision: str = "highest", mesh=None,
-                 backend: str = "auto", rotate_spec=None):
+                 backend: str = "auto", rotate_spec=None, cache_dir=None):
         if backend not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
         if precision not in PRECISIONS:
@@ -545,6 +611,7 @@ class PackedSlabRegridder:
         self.backend = backend
         self.precision = precision
         self.mesh = mesh
+        self.cache_dir = cache_dir
         ells = [e for e, _ in ells_and_cols]
         self.col_counts = [int(c) for _, c in ells_and_cols]
         if len({e.n_src for e in ells}) != 1:
@@ -563,8 +630,11 @@ class PackedSlabRegridder:
             off += c
         # validate rotate windows BEFORE the expensive union pack: callers
         # fall back to a rotation-free regridder on ValueError, and a late
-        # raise would make them pay _pack_union twice
-        if rotate_spec is not None:
+        # raise would make them pay _pack_union twice. The CB-sub-chunk
+        # window constraint is the FUSED kernel's; the XLA path's
+        # post-unblock _rotate_post handles arbitrary windows, so an
+        # explicit backend="xla" skips the check (ADVICE r3).
+        if rotate_spec is not None and backend != "xla":
             from .pallas_matmul import _validate_rotate
 
             _validate_rotate(tuple(rotate_spec[0]), tuple(self.ranges),
@@ -572,13 +642,18 @@ class PackedSlabRegridder:
 
         # union slab over the K-concatenation of all methods
         Ks = [e.idx.shape[1] for e in ells]
-        idx_cat = np.concatenate(
-            [np.asarray(e.idx, np.int64) for e in ells], axis=1)
-        w_cat = np.concatenate(
-            [np.asarray(e.w, np.float64) for e in ells], axis=1)
+
+        def _cat():
+            return (np.concatenate(
+                        [np.asarray(e.idx, np.int64) for e in ells], axis=1),
+                    np.concatenate(
+                        [np.asarray(e.w, np.float64) for e in ells], axis=1))
+
         (slab_idx, loc, loc_w, W, self.nty, self.ntx, n_tiles,
-         self.n_tiles_data, self.nty_p) = _pack_union(
-            idx_cat, w_cat, ny, nx, self.n_src, mesh=mesh)
+         self.n_tiles_data, self.nty_p) = _pack_union_cached(
+            _cat, ny, nx, self.n_src, mesh=mesh, cache_dir=cache_dir,
+            ell_fps=(tuple(e.fingerprint() for e in ells)
+                     if cache_dir else None))
         self.W = W
         self.n_tiles = n_tiles
 

@@ -189,12 +189,14 @@ def _run_batches_packed(batches, rgs, weights, np_dtype, root_only,
     ref_rg = rgs[cell_keys[0]]
     ells_and_cols = [(weights[k], sum(p[0] for p in batches[k].parts))
                      for k in cell_keys]
+    cache_dir = getattr(ref_rg, "cache_dir", None)
     pk = None
     if rotate_spec is not None:
         try:
             pk = PackedSlabRegridder(
                 ells_and_cols, precision=ref_rg.precision, mesh=ref_rg.mesh,
-                backend=ref_rg.backend, rotate_spec=rotate_spec)
+                backend=ref_rg.backend, rotate_spec=rotate_spec,
+                cache_dir=cache_dir)
         except ValueError:
             pk = None          # window exceeds the CB sub-chunk: rotate
             rotate_spec = None  # post-hoc instead
@@ -202,7 +204,7 @@ def _run_batches_packed(batches, rgs, weights, np_dtype, root_only,
         try:
             pk = PackedSlabRegridder(
                 ells_and_cols, precision=ref_rg.precision, mesh=ref_rg.mesh,
-                backend=ref_rg.backend)
+                backend=ref_rg.backend, cache_dir=cache_dir)
         except ValueError:
             return False             # e.g. union exceeds the W cap
     src = np.concatenate(
@@ -252,7 +254,8 @@ def restagger_v_midpoint(mass):
 
 
 def _make_regridder(ell: ELLWeights, dtype, mesh=None,
-                    precision="highest", source_decomp="replicate"):
+                    precision="highest", source_decomp="replicate",
+                    cache_dir=None):
     """Pick the apply engine: the MXU slab-matmul fast path for f32 2-D
     grids (ops/matmul_apply), falling back to the plain gather Regridder
     for f64 runs, 1-D targets, or pathological tiles. With ``mesh``
@@ -273,7 +276,7 @@ def _make_regridder(ell: ELLWeights, dtype, mesh=None,
             # choice (auto = fused Mosaic kernel on TPU, XLA elsewhere)
             backend = os.environ.get("MPASSIT_APPLY_BACKEND", "auto")
             return SlabMatmulRegridder(ell, mesh=mesh, precision=precision,
-                                       backend=backend)
+                                       backend=backend, cache_dir=cache_dir)
         except ValueError:
             pass
     if mesh is not None:
@@ -450,7 +453,8 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         dev_mesh = _device_mesh(cfg)
         rgs = {k: _make_regridder(v, dtype, mesh=dev_mesh,
                                   precision=cfg.apply_precision,
-                                  source_decomp=cfg.source_decomp)
+                                  source_decomp=cfg.source_decomp,
+                                  cache_dir=cfg.weights_cache_dir)
                for k, v in weights.items()}
 
     res = RegridResult(nz=mesh.nz, nzp1=mesh.nzp1, nsoil=mesh.nsoil)

@@ -31,20 +31,49 @@ class WeightCache:
             os.makedirs(cache_dir, exist_ok=True)
 
     def _path(self, mesh_fp: str, grid_fp: str, tag: str) -> str:
+        """Legacy single-file (.npz) entry path — still honored on read."""
         return os.path.join(self.dir, f"w_{mesh_fp}_{grid_fp}_{tag}.npz")
 
+    def _dir(self, mesh_fp: str, grid_fp: str, tag: str) -> str:
+        return os.path.join(self.dir, f"w_{mesh_fp}_{grid_fp}_{tag}")
+
+    def has(self, tag: str, mesh_fp: str, grid_fp: str) -> bool:
+        return bool(self.dir) and (
+            os.path.exists(os.path.join(self._dir(mesh_fp, grid_fp, tag),
+                                        "meta.json"))
+            or os.path.exists(self._path(mesh_fp, grid_fp, tag)))
+
     def get_or_build(self, tag: str, mesh_fp: str, grid_fp: str, builder):
-        """Return cached ELLWeights for (mesh, grid, tag) or build + store."""
+        """Return cached ELLWeights for (mesh, grid, tag) or build + store.
+
+        Entries are directory-of-.npy (mmap-loaded: a warm start touches
+        bytes lazily instead of paying a zip CRC sweep + copy); legacy
+        .npz entries from older rounds still load."""
         if not self.dir:
             return builder()
-        path = self._path(mesh_fp, grid_fp, tag)
-        if os.path.exists(path):
+        from ..diskcache import load_arrays, save_arrays
+
+        d = self._dir(mesh_fp, grid_fp, tag)
+        hit = load_arrays(d)
+        if hit is not None:
             try:
-                return ELLWeights.load(path)
+                meta, arrs = hit
+                return ELLWeights(
+                    idx=arrs["idx"], w=arrs["w"], n_src=int(meta["n_src"]),
+                    method=str(meta["method"]),
+                    dst_shape=tuple(meta["dst_shape"]),
+                    src_loc=str(meta["src_loc"]))
+            except KeyError:
+                pass  # incomplete entry: rebuild
+        legacy = self._path(mesh_fp, grid_fp, tag)
+        if os.path.exists(legacy):
+            try:
+                return ELLWeights.load(legacy)
             except Exception:
                 pass  # corrupt cache entry: rebuild
         ell = builder()
-        tmp = path[:-4] + ".tmp.npz"  # keep .npz suffix so savez doesn't append
-        ell.save(tmp)
-        os.replace(tmp, path)
+        save_arrays(d, {"n_src": int(ell.n_src), "method": ell.method,
+                        "dst_shape": list(ell.dst_shape),
+                        "src_loc": ell.src_loc},
+                    {"idx": ell.idx, "w": ell.w})
         return ell

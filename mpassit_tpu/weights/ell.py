@@ -16,6 +16,7 @@ leaves unmapped points untouched.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 
 import numpy as np
 
@@ -48,6 +49,21 @@ class ELLWeights:
         """(T,) bool — rows with any nonzero weight."""
         return (self.w != 0).any(axis=1)
 
+    def fingerprint(self) -> str:
+        """Content hash of the operator (keys the packed-operator cache,
+        the analog of the weight cache's (mesh, grid, method) key for
+        derived layouts). Memoized: the arrays are immutable by contract."""
+        fp = getattr(self, "_fp", None)
+        if fp is None:
+            h = hashlib.sha256()
+            h.update(np.ascontiguousarray(self.idx).tobytes())
+            h.update(np.ascontiguousarray(self.w).tobytes())
+            h.update(
+                f"|{self.n_src}|{self.dst_shape}|{self.src_loc}".encode())
+            fp = h.hexdigest()[:16]
+            self._fp = fp
+        return fp
+
     def validate(self) -> None:
         assert self.idx.shape == self.w.shape
         assert self.idx.min() >= 0 and self.idx.max() < max(self.n_src, 1)
@@ -69,7 +85,10 @@ class ELLWeights:
         return out
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        # uncompressed: cache loads are on the warm-start critical path
+        # (~0.8 s to inflate a compressed CONUS conserve entry vs ~0.1 s
+        # raw); np.load reads either format, so old entries stay valid
+        np.savez(
             path, idx=self.idx, w=self.w, n_src=self.n_src,
             method=self.method, dst_shape=np.array(self.dst_shape),
             src_loc=self.src_loc,
