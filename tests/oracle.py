@@ -160,6 +160,148 @@ def oracle_conservative(mesh, grid):
     return out
 
 
+def oracle_bilinear_vertex(mesh, lat_t, lon_t):
+    """Node-located bilinear oracle (the vorticity path,
+    interp.F90:350-366): containing Voronoi cell = scalar great-circle
+    argmin of generators; its corner polygon fan-triangulated from the
+    first listed vertex (the documented triangulation choice); weights =
+    ray/plane-intersection barycentric in the best-containing fan
+    sub-triangle. Shares no code with weights/bilinear.py
+    (production: cKDTree + vectorized triple products)."""
+    out = []
+    for lat, lon in zip(np.ravel(lat_t), np.ravel(lon_t)):
+        p = _xyz(lat, lon)
+        dists = [math.acos(np.clip(np.dot(p, _xyz(la, lo)), -1, 1))
+                 for la, lo in zip(mesh.lat_cell, mesh.lon_cell)]
+        cell = int(np.argmin(dists))
+        verts = [int(v) for v in mesh.vertices_on_cell[cell] if v >= 0]
+        best = None          # (min_bary, {vertex: w})
+        for s in range(1, len(verts) - 1):
+            va, vb, vc = verts[0], verts[s], verts[s + 1]
+            A = _xyz(mesh.lat_vertex[va], mesh.lon_vertex[va])
+            B = _xyz(mesh.lat_vertex[vb], mesh.lon_vertex[vb])
+            C = _xyz(mesh.lat_vertex[vc], mesh.lon_vertex[vc])
+            nrm = np.cross(B - A, C - A)
+            denom = float(np.dot(nrm, p))
+            if abs(denom) < 1e-300:
+                continue
+            t = float(np.dot(nrm, A)) / denom
+            if t <= 0:
+                continue
+            q = t * p
+            area = float(np.dot(nrm, np.cross(B - A, C - A)))
+            wa = float(np.dot(nrm, np.cross(B - q, C - q))) / area
+            wb = float(np.dot(nrm, np.cross(C - q, A - q))) / area
+            wc = float(np.dot(nrm, np.cross(A - q, B - q))) / area
+            mn = min(wa, wb, wc)
+            if best is None or mn > best[0]:
+                best = (mn, {va: wa, vb: wb, vc: wc})
+        if best is None or best[0] < -1e-9:
+            out.append({})       # unmapped (quirk Q5)
+        else:
+            w = {}
+            for v, val in best[1].items():
+                w[v] = w.get(v, 0.0) + max(val, 0.0)
+            s = sum(w.values())
+            out.append({v: val / s for v, val in w.items()})
+    return out
+
+
+def _inv_bilinear_quadratic(P00, P10, P01, P11):
+    """Closed-form inverse bilinear in the plane, target at the origin:
+    solve the quadratic resultant cross2(A+aB, C+aD)=0 for a, back-solve
+    b — a different algorithm from production's Newton iteration."""
+    A = np.asarray(P00)
+    B = np.asarray(P10) - A
+    C = np.asarray(P01) - A
+    D = np.asarray(P11) - np.asarray(P10) - np.asarray(P01) + A
+
+    def cr(u, v):
+        return u[0] * v[1] - u[1] * v[0]
+
+    c2 = cr(B, D)
+    c1 = cr(A, D) + cr(B, C)
+    c0 = cr(A, C)
+    roots = []
+    if abs(c2) < 1e-14 * (abs(c1) + abs(c0) + 1e-300):
+        if abs(c1) > 1e-300:
+            roots = [-c0 / c1]
+    else:
+        disc = c1 * c1 - 4.0 * c2 * c0
+        if disc >= 0.0:
+            r = math.sqrt(disc)
+            roots = [(-c1 + r) / (2 * c2), (-c1 - r) / (2 * c2)]
+    best = None
+    for a in roots:
+        e = C + a * D            # b*e = -(A + a*B)
+        den = float(np.dot(e, e))
+        if den < 1e-300:
+            continue
+        b = -float(np.dot(A + a * B, e)) / den
+        viol = max(-a, a - 1.0, -b, b - 1.0, 0.0)
+        if best is None or viol < best[0]:
+            best = (viol, a, b)
+    if best is None:
+        return np.inf, 0.5, 0.5
+    return best
+
+
+def oracle_grid_bilinear(src_lat, src_lon, dst_lat, dst_lon, unmapped_mask):
+    """Grid->grid spherical-bilinear oracle (the center->EDGE restagger,
+    interp.F90:295-328): per destination point, EXHAUSTIVE scalar search
+    over all source quads in the gnomonic plane tangent at the point,
+    inverse bilinear by the closed-form quadratic (production: structural
+    candidate lists + Newton). ``unmapped_mask`` marks the outermost
+    staggered column/row that stays unmapped by contract (quirk Q6);
+    points whose best containment violation exceeds the documented SLACK
+    (1e-2 of a cell) also unmap."""
+    SLACK = 1e-2
+    ny, nx = src_lat.shape
+    sxyz = np.array([[_xyz(src_lat[j, i], src_lon[j, i])
+                      for i in range(nx)] for j in range(ny)])
+    out = []
+    flat_mask = np.ravel(unmapped_mask)
+    for t, (lat, lon) in enumerate(zip(np.ravel(dst_lat),
+                                       np.ravel(dst_lon))):
+        if flat_mask[t]:
+            out.append({})
+            continue
+        p = _xyz(lat, lon)
+        ref = np.array([0.0, 0.0, 1.0]) if abs(p[2]) < 0.9 else \
+            np.array([1.0, 0.0, 0.0])
+        e1 = np.cross(ref, p)
+        e1 /= np.linalg.norm(e1)
+        e2 = np.cross(p, e1)
+
+        def gno(v):
+            d = float(np.dot(v, p))
+            return np.array([float(np.dot(v, e1)) / d,
+                             float(np.dot(v, e2)) / d])
+
+        best = None            # (viol, corners, a, b)
+        for j in range(ny - 1):
+            for i in range(nx - 1):
+                if float(np.dot(sxyz[j, i], p)) < 0.5:
+                    continue   # far-hemisphere quad
+                viol, a, b = _inv_bilinear_quadratic(
+                    gno(sxyz[j, i]), gno(sxyz[j, i + 1]),
+                    gno(sxyz[j + 1, i]), gno(sxyz[j + 1, i + 1]))
+                if best is None or viol < best[0]:
+                    best = (viol, (j * nx + i, j * nx + i + 1,
+                                   (j + 1) * nx + i, (j + 1) * nx + i + 1),
+                            a, b)
+        if best is None or best[0] > SLACK:
+            out.append({})
+            continue
+        _, (c00, c10, c01, c11), a, b = best
+        a = min(max(a, 0.0), 1.0)
+        b = min(max(b, 0.0), 1.0)
+        row = {c00: (1 - a) * (1 - b), c10: a * (1 - b),
+               c01: (1 - a) * b, c11: a * b}
+        out.append({c: v for c, v in row.items() if v != 0.0})
+    return out
+
+
 def ell_to_dicts(ell):
     """Production ELLWeights -> per-target {src: weight} for comparison."""
     T = ell.idx.shape[0] if ell.idx.ndim == 2 else len(ell.idx)

@@ -46,7 +46,8 @@ def smooth(lat, lon, k=1.0):
 
 
 def make_case(tmp_path, ncells=1500, nz=4, nsoil=2, wrf_mod_vars=True,
-              interp_diag=True, interp_hist=True, nx=25, ny=19, dx=200e3):
+              interp_diag=True, interp_hist=True, nx=25, ny=19, dx=200e3,
+              cfg_overrides=None):
     mesh = synthetic_voronoi_mesh(ncells=ncells, nz=nz, nsoil=nsoil, seed=7)
     d = tmp_path
     write_mpas_grid_file(mesh, str(d / "grid.nc"))
@@ -96,7 +97,7 @@ def make_case(tmp_path, ncells=1500, nz=4, nsoil=2, wrf_mod_vars=True,
     (d / "histlist_3d").write_text(HISTLIST_3D)
     (d / "histlist_soil").write_text(HISTLIST_SOIL)
 
-    cfg = Config.from_dict({
+    cfg_dict = {
         "grid_file_input_grid": str(d / "grid.nc"),
         "diag_file_input_grid": str(d / "diag.nc"),
         "hist_file_input_grid": str(d / "hist.nc"),
@@ -109,7 +110,13 @@ def make_case(tmp_path, ncells=1500, nz=4, nsoil=2, wrf_mod_vars=True,
         "ref_lat": 38.5, "ref_lon": -97.5,
         "truelat1": 38.5, "stand_lon": -97.5,
         "varlist_dir": str(d),
-    })
+    }
+    if cfg_overrides:
+        cfg_dict.update(cfg_overrides)
+        for k, v in list(cfg_dict.items()):
+            if v is None:
+                del cfg_dict[k]
+    cfg = Config.from_dict(cfg_dict)
     return mesh, cfg, hist_fields, diag_fields
 
 
