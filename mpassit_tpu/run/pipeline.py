@@ -480,6 +480,12 @@ def _run_pipeline(cfg: Config, dtype=jnp.float32) -> PipelineArtifacts:
         # wind mass fields feed the SHARDED edge restagger, so every
         # process needs the real values: always gather-to-all
         wind_batch = _ApplyBatch(rgs["bilinear"], np_dtype, root_only=False)
+        # degeneracy guard (register R11): warn before any Q4 rotation if
+        # the grid's rotation angles approach 90 deg (|cosa| -> 0)
+        if cfg.proj_code == PROJ_LC and grid.cosa is not None:
+            from ..ops.rotate import check_rotation_angles
+
+            check_rotation_angles(grid.cosa)
         wind = {}
         d2 = []
         if cfg.interp_diag:
