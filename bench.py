@@ -821,11 +821,44 @@ def main() -> int:
     return 0
 
 
+def _rss_window():
+    """Sample this process's RSS on a 20 ms poll until stopped; returns
+    (stop_fn -> peak_bytes)."""
+    import threading
+
+    stop = threading.Event()
+    peak = [0]
+
+    def poll():
+        while True:
+            try:
+                with open("/proc/self/statm") as f:
+                    peak[0] = max(peak[0],
+                                  int(f.read().split()[1]) * 4096)
+            except OSError:
+                pass
+            if stop.wait(0.02):
+                return
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+
+    def done():
+        stop.set()
+        t.join()
+        return peak[0]
+
+    return done
+
+
 def bench_e2e(cache_dir):
     """Full run_pipeline wall-clock (weights cached) including the NetCDF
     write, at a reduced-column CONUS config (nz=8) — the host fetch and
     file write ride the dev tunnel/local disk, so this is a lower bound on
-    production e2e, reported separately from the headline."""
+    production e2e, reported separately from the headline. Runs the warm
+    pipeline through BOTH writers: the in-memory path and the streamed
+    path (stream_output=.true.), with peak host RSS sampled over each and
+    the streamed run's fetch/write overlap reported."""
     import tempfile
 
     import jax.numpy as jnp
@@ -841,20 +874,47 @@ def bench_e2e(cache_dir):
 
     mesh, cfg, _, _ = make_case(
         Path(d), ncells=getenv_int("BENCH_E2E_NCELLS", 150_000),
-        nz=8, nsoil=4, nx=getenv_int("BENCH_E2E_NX", 601),
+        nz=getenv_int("BENCH_E2E_NZ", 8), nsoil=4,
+        nx=getenv_int("BENCH_E2E_NX", 601),
         ny=getenv_int("BENCH_E2E_NY", 355), dx=9000.0)
     cfg.weights_cache_dir = cache_dir
     t0 = time.perf_counter()
     art = run_pipeline(cfg, dtype=jnp.float32)
     t_cold = time.perf_counter() - t0
+    rss_done = _rss_window()
     t0 = time.perf_counter()
     art = run_pipeline(cfg, dtype=jnp.float32)
     t_warm = time.perf_counter() - t0
+    rss_mem = rss_done()
     out_bytes = os.path.getsize(cfg.output_file)
+
+    # streamed run: strips go straight to the file via the writer thread
+    cfg.stream_output = True
+    cfg.output_file = os.path.join(d, "out_stream.nc")
+    run_pipeline(cfg, dtype=jnp.float32)   # compile any stream-only shapes
+    rss_done = _rss_window()
+    t0 = time.perf_counter()
+    art_s = run_pipeline(cfg, dtype=jnp.float32)
+    t_stream = time.perf_counter() - t0
+    rss_stream = rss_done()
+    st = art_s.timings.stages
+    write_block = st.get("write_to_file", 0.0)   # open + finish (blocking)
+    write_thread = st.get("stream_write_s", 0.0)  # in-thread HDF5 writes
+    overlap = (max(0.0, 1.0 - write_block / write_thread)
+               if write_thread > 0 else 0.0)
     return {
         "t_pipeline_cold_s": round(t_cold, 2),
         "t_pipeline_warm_s": round(t_warm, 2),
+        "t_pipeline_warm_streamed_s": round(t_stream, 2),
         "stages_warm": {k: round(v, 3) for k, v in art.timings.stages.items()},
+        "stages_warm_streamed": {k: round(v, 3) for k, v in st.items()},
+        # peak host RSS over each warm run (20 ms sampling): the streamed
+        # writer never materializes the (ny, nx, n_cols) output
+        "peak_host_rss_mb": {"in_memory": round(rss_mem / 1e6, 1),
+                             "streamed": round(rss_stream / 1e6, 1)},
+        # fraction of the HDF5 write time hidden under the device fetch
+        "stream_write_overlap": round(overlap, 3),
+        "stream_write_thread_s": round(write_thread, 2),
         "output_mb": round(out_bytes / 1e6, 1),
     }
 

@@ -210,6 +210,15 @@ class Config:
     #: every field — simplest SPMD). Wind mass fields always gather-to-all
     #: (they feed the sharded restagger).
     fetch_root_only: bool = False
+    #: stream regridded strips straight into the output NetCDF as they are
+    #: fetched from the device (a writer thread overlaps the HDF5 writes
+    #: with the next strip's fetch): peak host memory drops from the full
+    #: (ny, nx, n_cols) output (7.4 GB at the production CONUS load) to
+    #: one strip plus the wind mass fields, and the separate write_to_file
+    #: walk disappears. Single-process only (the serial rank-0 writer);
+    #: the in-memory path remains the default for the library API (whose
+    #: PipelineArtifacts.result carries the arrays).
+    stream_output: bool = False
     #: cell renumbering for HBM gather coherence — the locality analog of
     #: the reference's METIS block_decomp_file (model_grid.F90:2367-2426):
     #: "morton" (default) orders source cells along a Z-curve over the

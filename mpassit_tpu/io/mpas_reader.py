@@ -51,14 +51,18 @@ def _open(path: str):
         return open_dataset(path)
 
 
-def _read_field(f, name: str):
+def _read_field(f, name: str, dtype=np.float32):
     # input_data.F90:184: netcdf_err 'reading field id - <vname>' when the
     # varlist entry is absent from the file
     if not f.has_var(name):
         raise NetCDFError(f"reading field id - {name}",
                           "NetCDF: Variable not found")
     with netcdf_guard(f"reading field - {name}"):
-        a = np.asarray(f.read_var(name), dtype=np.float64)
+        # default f32: the apply engines compute in f32 and the output file
+        # is f32 either way, so f64 ingest only doubled host residency
+        # (~17 GB at 2.6M cells x 55 levels). compute_dtype='float64' (the
+        # reference's -r8, CMakeLists.txt:80) restores f64 end to end.
+        a = np.asarray(f.read_var(name), dtype=dtype)
         if a.ndim >= 1 and f.var_dims(name) and f.var_dims(name)[0] == "Time":
             a = a[0]
         return a
@@ -79,11 +83,11 @@ def _xtime(f) -> str:
 
 
 def read_diag_data(path: str, routing: Routing, data: InputData,
-                   interp_hist: bool) -> None:
+                   interp_hist: bool, dtype=np.float32) -> None:
     """read_input_diag_data (input_data.F90:123-264)."""
     with _open(path) as f:
         for spec in routing.diag:
-            a = _read_field(f, spec.in_name)
+            a = _read_field(f, spec.in_name, dtype)
             data.fields[spec.in_name] = a
             attrs = f.var_attrs(spec.in_name)
             data.units[spec.in_name] = attrs.get("units", "")
@@ -105,7 +109,8 @@ def read_diag_data(path: str, routing: Routing, data: InputData,
         data.valid_time = _xtime(f)
 
 
-def read_hist_data(path: str, routing: Routing, data: InputData) -> None:
+def read_hist_data(path: str, routing: Routing, data: InputData,
+                   dtype=np.float32) -> None:
     """read_input_hist_data (input_data.F90:316-812)."""
     with _open(path) as f:
         att = f.get_attr("config_lsm_scheme", None)
@@ -126,12 +131,12 @@ def read_hist_data(path: str, routing: Routing, data: InputData) -> None:
                 routing.soil + routing.nz_3d + routing.nzp1_3d +
                 routing.vert_3d)
         for spec in cats:
-            a = _read_field(f, spec.in_name)
+            a = _read_field(f, spec.in_name, dtype)
             data.fields[spec.in_name] = a
             attrs = f.var_attrs(spec.in_name)
             data.units[spec.in_name] = attrs.get("units", "")
             data.long_name[spec.in_name] = attrs.get("long_name", "")
         if routing.do_u:
-            data.u = _read_field(f, U_VAR)
+            data.u = _read_field(f, U_VAR, dtype)
         if routing.do_v:
-            data.v = _read_field(f, V_VAR)
+            data.v = _read_field(f, V_VAR, dtype)

@@ -464,6 +464,14 @@ class NetCDF4File:
     def write_var(self, name: str, data):
         self._f[name][...] = data
 
+    def write_var_slab(self, name: str, data, starts):
+        """Partial put_var: write ``data`` at offset vector ``starts``
+        (the nf90_put_var start/count form — the streaming writer fills
+        variables level-block by level-block as strips arrive)."""
+        ds = self._f[name]
+        sel = tuple(slice(s, s + n) for s, n in zip(starts, np.shape(data)))
+        ds[sel] = data
+
 
 def open_dataset(path: str):
     """nf90_open equivalent: dispatch on file magic (HDF5 vs classic CDF)."""

@@ -82,8 +82,10 @@ class _W:
 
     def var(self, name, dims, data, units, desc, coords, stagger,
             memorder, fieldtype=104, dtype="f4"):
-        # per-field min/max sanity log (write_data.F90:1283,1349)
-        if log.isEnabledFor(logging.DEBUG) and np.asarray(data).size:
+        # per-field min/max sanity log (write_data.F90:1283,1349);
+        # data=None defines the variable empty (streaming fills it later)
+        if data is not None and log.isEnabledFor(logging.DEBUG) \
+                and np.asarray(data).size:
             log.debug(" %s %s %s", name, np.min(data), np.max(data))
         self.f.create_var(name, dims, dtype, data=data)
         self.f.set_attr("description", desc, var=name)
@@ -105,16 +107,14 @@ D3U = ("Time", "bottom_top", "south_north", "west_east_stag")
 D3V = ("Time", "bottom_top", "south_north_stag", "west_east")
 
 
-def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
-    """write_to_file equivalent (write_data.F90:20-1498).
-
-    cfg: Config; grid: TargetGrid; data: mpas_reader.InputData.
-    """
+def _write_preamble(f, w, cfg, grid, data, nz, nzp1, nsoil, hgt,
+                    zs) -> None:
+    """Dims, global attrs, coordinate/static vars, Times/ITIMESTEP/XTIME
+    (write_data.F90:173-561) — shared by the in-memory and streaming
+    writers. ``hgt`` None defines HGT empty (the streaming path fills it
+    when its strip arrives)."""
     nx, ny = grid.nx, grid.ny
-    nz, nzp1, nsoil = res.nz, res.nzp1, res.nsoil
-    wrf_mod = cfg.wrf_mod_vars
-
-    with NetCDF4File(path, "w") as f:
+    if True:
         # --- dims (write_data.F90:177-194) -------------------------------
         f.create_dim("Time", None)
         f.ensure_unlimited_size("Time", 1)
@@ -169,7 +169,6 @@ def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
         A("BOTTOM-TOP_PATCH_END_STAG", nz + 1)
 
         # --- coordinate / static vars (write_data.F90:312-561) -----------
-        w = _W(f)
         w.var("XLONG", D2, _t3(grid.lon), "degree_east",
               "LONGITUDE, WEST IS NEGATIVE", "XLONG XLAT", "", "XY ")
         w.var("XLONG_U", D2U, _t3(grid.lon_u), "degree_east",
@@ -202,13 +201,14 @@ def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
               "Layer center height above mean sea level", "XLAT XLONG Z_C",
               "", "XYZ ")
         zsdat = np.zeros((1, nsoil), np.float32)
-        if res.zs is not None:
-            zsdat[0, :] = np.asarray(res.zs, dtype=np.float32)[:nsoil]
+        if zs is not None:
+            zsdat[0, :] = np.asarray(zs, dtype=np.float32)[:nsoil]
         w.var("ZS", ("Time", "soil_layers_stag"), zsdat, "m",
               "DEPTHS OF CENTERS OF SOIL LAYERS", "ZS XTIME", "", "X")
-        hgt = res.hgt if res.hgt is not None else np.zeros((ny, nx))
-        w.var("HGT", D2, _t3(hgt), "m AMSL", "TERRAIN HEIGHT ",
-              "XLAT XLONG ", "", "XY ")
+        # hgt None: define HGT empty — the streaming writer fills it when
+        # the regridded terrain strip arrives
+        w.var("HGT", D2, None if hgt is None else _t3(hgt), "m AMSL",
+              "TERRAIN HEIGHT ", "XLAT XLONG ", "", "XY ")
 
         times = np.zeros((1, DATESTRLEN), dtype="S1")
         vt = (data.valid_time + " " * DATESTRLEN)[:DATESTRLEN]
@@ -242,6 +242,251 @@ def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
         f.set_attr("stagger", "", var="XTIME")
         f.set_attr("FieldType", 104, var="XTIME")
         f.set_attr("MemoryOrder", "O ", var="XTIME")
+
+
+class StreamingWriter:
+    """Streamed write_to_file: the full output schema (dims, attrs, static
+    vars, every field variable) is created up front, then regridded strips
+    are written into the variables AS THEY ARE FETCHED from the device —
+    the host never materializes the (ny, nx, 973) output (7.4 GB at full
+    CONUS load), and a writer thread overlaps the HDF5 writes with the
+    next strip's device fetch (VERDICT r3 item 2; the reference's
+    equivalent is a full FieldGather + serial put_var per field,
+    write_data.F90:1005-1475, with every field resident on rank 0).
+
+    ``plan``: dict of per-category [(out_name, units, desc)] lists (3-D
+    categories implicitly carry nz/nzp1/nsoil levels) plus "do_u"/"do_v"
+    booleans — the same routing-derived lists the in-memory path fills
+    into RegridResult, known before any apply runs.
+
+    Usage: ``open()`` -> any number of ``put(var, lev0, block)`` (levels
+    must arrive in ascending order per variable — the strip loops
+    guarantee this) -> ``finish()``. Transforms (quirk Q7: T-300,
+    PHB=zgrid*9.81 + Z_C midpoints, PB=P_HYD, P_TOP) run in the writer
+    thread at f64, matching the in-memory path bit for bit; streamed and
+    in-memory files are asserted identical in tests/test_streaming.py."""
+
+    _ZERO_NLEV = {"diag2d": None, "cons2d": None, "patch2d": None,
+                  "nstd2d": None}
+
+    def __init__(self, path, cfg, grid, data, plan, nz, nzp1, nsoil, zs,
+                 queue_depth: int = 2):
+        self.path, self.cfg, self.grid, self.data = path, cfg, grid, data
+        self.plan = plan
+        self.nz, self.nzp1, self.nsoil = nz, nzp1, nsoil
+        self.zs = zs
+        self._depth = queue_depth
+        self.f = None
+        self._vmeta = {}          # var -> (category, nlev)
+        self._phb_prev = None     # (level_index, (ny, nx) f64 plane)
+        self._phyd_max = -np.inf
+        self._phyd_top = None
+        self._minmax = {}
+        self._q = None
+        self._thread = None
+        self._exc = None
+        self.stats = {"t_write_s": 0.0, "t_block_s": 0.0, "blocks": 0}
+
+    # -- schema -----------------------------------------------------------
+    def open(self):
+        import queue
+        import threading
+
+        cfg, grid, data = self.cfg, self.grid, self.data
+        nz, nzp1, nsoil = self.nz, self.nzp1, self.nsoil
+        nx, ny = grid.nx, grid.ny
+        wrf_mod = cfg.wrf_mod_vars
+        plan = self.plan
+        self.f = f = NetCDF4File(self.path, "w")
+        w = _W(f)
+        _write_preamble(f, w, cfg, grid, data, nz, nzp1, nsoil, None,
+                        self.zs)
+        self._vmeta["HGT"] = ("hgt", None)
+
+        def define(entries, category, dims, nlev, memorder, stagger="",
+                   coords="XLONG XLAT XTIME"):
+            for name, units, desc in entries:
+                w.var(name, dims, None, units, desc, coords, stagger,
+                      memorder)
+                self._vmeta[name] = (category, nlev)
+
+        # schema order mirrors write_data.F90:567-994 / write_output below
+        define(plan.get("diag2d", []) + plan.get("cons2d", [])
+               + plan.get("patch2d", []) + plan.get("nstd2d", []),
+               "2d", D2, None, "XY ")
+        define(plan.get("diag3d", []), "3d", D3, nz, "XYZ ")
+        define(plan.get("soil", []), "3d", D3S, nsoil, "XYZ ")
+        for name, units, desc in plan.get("nz3d", []):
+            w.var(name, D3, None, units, desc, "XLONG XLAT XTIME", "",
+                  "XYZ ")
+            self._vmeta[name] = ("T" if wrf_mod and name == "T" else "3d",
+                                 nz)
+            if wrf_mod and name == "MUB":
+                w.var("MU", D3, np.zeros((1, nz, ny, nx), np.float32),
+                      units, "Perturbation " + desc, "XLONG XLAT XTIME",
+                      "", "XYZ ")
+            if wrf_mod and name == "P_HYD":
+                self._vmeta[name] = ("P_HYD", nz)
+                f.create_var("P_TOP", ("Time",), "f4")
+                f.set_attr("MemoryOrder", "0 ", var="P_TOP")
+                f.set_attr("units", units, var="P_TOP")
+                f.set_attr("description", "PRESSURE TOP OF THE MODEL",
+                           var="P_TOP")
+                f.set_attr("stagger", "", var="P_TOP")
+                f.set_attr("FieldType", 104, var="P_TOP")
+                w.var("PB", D3, None, "Pa", "BASE STATE PRESSURE (pfull)",
+                      "XLONG XLAT XTIME", "", "XYZ ")
+        if plan.get("do_u"):
+            w.var("U", D3U, None, "m s^{-1}", "", "XLONG_U XLAT_U XTIME",
+                  "X", "XYZ ")
+            self._vmeta["U"] = ("3d", nz)
+        if plan.get("do_v"):
+            w.var("V", D3V, None, "m s^{-1}", "", "XLONG_V XLAT_V XTIME",
+                  "Y", "XYZ ")
+            self._vmeta["V"] = ("3d", nz)
+        for name, units, desc in plan.get("nzp13d", []):
+            if name == "PHB":
+                self._vmeta[name] = ("PHB", nzp1)
+                if wrf_mod:
+                    w.var(name, D3P, None, "gpm", "Base Geopotential "
+                          "Height", "XLONG XLAT XTIME", "Z", "XYZ ")
+                    w.var("PH", D3P,
+                          np.zeros((1, nzp1, ny, nx), np.float32), "gpm",
+                          "Perturbation Geopotential Height",
+                          "XLONG XLAT XTIME", "Z", "XYZ ")
+                    continue
+            else:
+                self._vmeta[name] = ("3d", nzp1)
+            w.var(name, D3P, None, units, desc, "XLONG XLAT XTIME", "Z",
+                  "XYZ ")
+        for name, units, desc in plan.get("vert3d", []):
+            w.var(name, D3, None, units, desc, "XLONG XLAT XTIME", "",
+                  "XYZ")
+            self._vmeta[name] = ("3d", nz)
+        if wrf_mod:
+            w.var("P", D3, np.zeros((1, nz, ny, nx), np.float32), "Pa",
+                  "perturbation pressure (0.0)", "XLONG XLAT XTIME", "",
+                  "XYZ ")
+            if not f.has_var("PB"):
+                w.var("PB", D3,
+                      np.full((1, nz, ny, nx), NC_FILL_FLOAT, np.float32),
+                      "Pa", "BASE STATE PRESSURE (pfull)",
+                      "XLONG XLAT XTIME", "", "XYZ ")
+        self._q = queue.Queue(maxsize=self._depth)
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+        return self
+
+    # -- streaming --------------------------------------------------------
+    def put(self, var, lev0, block):
+        """Enqueue levels [lev0, lev0+k) of ``var`` (block (ny, nx[, k]));
+        blocks for one var must arrive in ascending level order."""
+        if self._exc is not None:
+            raise self._exc
+        self._q.put((var, lev0, block))
+
+    def _drain(self):
+        import time as _time
+
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                t0 = _time.perf_counter()
+                self._write_block(*item)
+                self.stats["t_write_s"] += _time.perf_counter() - t0
+                self.stats["blocks"] += 1
+        except BaseException as e:          # surfaced by put()/finish()
+            self._exc = e
+
+    def _track(self, var, arr):
+        if log.isEnabledFor(logging.DEBUG) and arr.size:
+            lo, hi = self._minmax.get(var, (np.inf, -np.inf))
+            self._minmax[var] = (min(lo, float(np.min(arr))),
+                                 max(hi, float(np.max(arr))))
+
+    def _write_block(self, var, lev0, block):
+        f = self.f
+        category, nlev = self._vmeta[var]
+        block = np.asarray(block)
+        if block.ndim == 2:
+            block = block[:, :, None]
+        k = block.shape[2]
+        out = block.astype(np.float64)
+        if category == "T":
+            out = out - 300.0               # quirk Q7 (guard is a no-op)
+        elif category == "P_HYD":
+            if lev0 + k >= self.nz:         # top level present in block
+                top = out[:, :, self.nz - 1 - lev0]
+                self._phyd_top = top.copy()
+            self._phyd_max = max(self._phyd_max, float(out.max()))
+            pb = np.moveaxis(out.astype(np.float32), 2, 0)[None]
+            self._track("PB", pb)
+            f.write_var_slab("PB", pb, (0, lev0, 0, 0))
+        elif category == "PHB":
+            # Z_C midpoints across this block's levels, stitching the
+            # boundary level saved from the previous block
+            zc_parts = []
+            zc0 = lev0
+            if self._phb_prev is not None and self._phb_prev[0] == lev0 - 1:
+                zc_parts.append(0.5 * (self._phb_prev[1] + out[:, :, 0]))
+                zc0 = lev0 - 1
+            for kk in range(k - 1):
+                if lev0 + kk + 1 < self.nzp1:
+                    zc_parts.append(0.5 * (out[:, :, kk]
+                                           + out[:, :, kk + 1]))
+            if zc_parts:
+                zc = np.stack(zc_parts, axis=0).astype(np.float32)[None]
+                # only the nz midpoint levels are written (top interface
+                # stays at fill, module docstring)
+                zc = zc[:, : max(0, min(self.nz - zc0, zc.shape[1]))]
+                if zc.shape[1]:
+                    f.write_var_slab("Z_C", zc, (0, zc0, 0, 0))
+            self._phb_prev = (lev0 + k - 1, out[:, :, -1].copy())
+            out = out * 9.81
+        dat = np.moveaxis(out.astype(np.float32), 2, 0)[None]
+        self._track(var, dat)
+        if nlev is None:
+            f.write_var_slab(var, dat[:, 0], (0, 0, 0))
+        else:
+            f.write_var_slab(var, dat, (0, lev0, 0, 0))
+
+    def finish(self):
+        """Drain the queue, write the deferred P_TOP, flush the min/max
+        debug log, close the file."""
+        self._q.put(None)
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        if self.f.has_var("P_TOP") and self._phyd_top is not None:
+            # P_TOP = min over domain of 0.8 * top level, seeded with the
+            # field max (write_data.F90:1362-1372)
+            ptop = self._phyd_max
+            sel = self._phyd_top >= 10.0
+            if sel.any():
+                ptop = min(ptop, float((self._phyd_top[sel] * 0.8).min()))
+            self.f.write_var("P_TOP", np.array([ptop], np.float32))
+        for var, (lo, hi) in self._minmax.items():
+            log.debug(" %s %s %s", var, lo, hi)
+        self.f.close()
+        self.f = None
+
+
+def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
+    """write_to_file equivalent (write_data.F90:20-1498).
+
+    cfg: Config; grid: TargetGrid; data: mpas_reader.InputData.
+    """
+    nx, ny = grid.nx, grid.ny
+    nz, nzp1, nsoil = res.nz, res.nzp1, res.nsoil
+    wrf_mod = cfg.wrf_mod_vars
+
+    with NetCDF4File(path, "w") as f:
+        w = _W(f)
+        _write_preamble(
+            f, w, cfg, grid, data, nz, nzp1, nsoil,
+            res.hgt if res.hgt is not None else np.zeros((ny, nx)), res.zs)
 
         # --- 2-D fields: diag, cons, patch, nstd (write order of
         #     write_data.F90:567-731, 1247-1264) --------------------------

@@ -61,7 +61,12 @@ CB = 256
 # to one (nyp, nxp, FETCH) output group.
 FETCH = 512
 W_STEP = 8          # slab width quantum (f32 sublane)
-W_CAP = 1024
+# max unique source rows per tile: a 32x32 EDGE-stagger tile regridding
+# from the structured mass grid references a (33, 33) window = 1089 rows,
+# so the cap sits above that; VMEM routing (fused_available/ell_fits_vmem)
+# decides kernel vs XLA per W, and truly pathological operators still fall
+# back to the gather engine
+W_CAP = 2048
 
 #: apply numerics:
 #: - "split6_bf16": 3-way bf16 operand split, the SIX compensated product
@@ -92,6 +97,45 @@ def _build_A_T(loc, w, n_tiles, w_width):
 
 
 GRID_AXIS = "grid"   # mesh axis name shared with parallel/sharding.py
+
+
+@partial(jax.jit, donate_argnums=0)
+def _insert_cols(buf, block, off):
+    zero = jnp.zeros((), dtype=jnp.asarray(off).dtype)
+    return jax.lax.dynamic_update_slice(buf, block, (zero, off))
+
+
+def _src_to_device(src, Cp, sharding=None):
+    """Host source -> (n_src, Cp) f32 device array, zero-padded columns.
+
+    Accepts one (n_src, C) array OR a list of column blocks summing to C:
+    blocks upload individually into a DONATED device buffer
+    (dynamic_update_slice in place), so the host never materializes the
+    concatenated matrix (~10 GB at 2.6M cells x 973 cols) and device peak
+    is buffer + one block (VERDICT r3 item 3; the reference's analog frees
+    each scratch array after scattering, input_data.F90:191-196)."""
+    if not isinstance(src, (list, tuple)):
+        src = np.asarray(src, dtype=np.float32)
+        pad = Cp - src.shape[1]
+        if pad:
+            src = np.pad(src, ((0, 0), (0, pad)))
+        dev = jnp.asarray(src)
+        return jax.device_put(dev, sharding) if sharding is not None else dev
+    n_src = src[0].shape[0]
+    buf = jnp.zeros((n_src, Cp), jnp.float32)
+    if sharding is not None:
+        buf = jax.device_put(buf, sharding)
+    off = 0
+    for b in src:
+        b = np.ascontiguousarray(np.asarray(b, dtype=np.float32))
+        if b.ndim == 1:
+            b = b[:, None]
+        bd = jnp.asarray(b)
+        if sharding is not None:
+            bd = jax.device_put(bd, sharding)
+        buf = _insert_cols(buf, bd, off)
+        off += b.shape[1]
+    return buf
 
 
 def _split_hilo(x):
@@ -366,6 +410,9 @@ class SlabMatmulRegridder:
     fits VMEM, xla otherwise.
     """
 
+    #: apply_np accepts a list of column blocks (device-side assembly)
+    accepts_blocks = True
+
     def __init__(self, ell, dtype=jnp.float32, precision: str = "highest",
                  mesh=None, backend: str = "auto", cache_dir=None):
         if backend not in ("auto", "pallas", "xla"):
@@ -392,6 +439,7 @@ class SlabMatmulRegridder:
 
         self.W = W
         self.n_tiles = n_tiles
+        self._tile3_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -403,27 +451,67 @@ class SlabMatmulRegridder:
             # device-committed array onto a cross-process sharding is not
             # multi-controller safe
             self.slab_idx = jax.device_put(slab_idx, self._tile_sharding)
-            build = jax.jit(
-                _build_A_T, static_argnames=("n_tiles", "w_width"),
-                out_shardings=self._tile3_sharding)
         else:
             self._src_sharding = None
             self.slab_idx = jnp.asarray(slab_idx)
-            build = _build_A_T
-        # A is built on device from the small loc/w arrays, in the
-        # transposed (n_tiles, W, TILE) layout; split_bf16 mode pre-splits
-        # it once into the stacked (n_tiles, 3W, TILE) bf16 form.
-        A = build(
-            jnp.asarray(loc.reshape(-1, K)),
-            jnp.asarray(loc_w.reshape(-1, K), dtype=jnp.float32),
-            n_tiles=n_tiles, w_width=W,
-        )
-        self.A = _prep_A(A, precision, dtype)
+        self._dtype = dtype
+        self._K = K
+        self._loc_host, self._w_host = loc, loc_w
+        # ELL-direct fused kernel (default): the kernel builds A in VMEM
+        # from (n_tiles, K, TILE) loc/w blocks — ~8K HBM bytes per target
+        # instead of 6W/12W for a prestacked A, the dominant non-output
+        # traffic at production slab widths (W=80: ~950 MB/pass saved).
+        # MPASSIT_ELL_KERNEL=0 restores the prestacked-A kernel; the XLA
+        # path always uses the prestacked A (built lazily on first use).
+        self._ell_kernel = os.environ.get("MPASSIT_ELL_KERNEL", "1") != "0"
+        self._A = None
+        self._locw_dev = None
         self.duplication = n_tiles * W / max(ell.n_src, 1)
         # jitted shard_map wrapper for the fused sharded path, built lazily
         # ONCE and reused — rebuilding it per call would re-trace/re-compile
         # on the hot per-bundle path (ADVICE r2)
         self._fused_sharded = None
+
+    @property
+    def A(self):
+        """Prestacked one-hot operator, built on device on first use (the
+        XLA path and the non-ELL kernel consume it; the ELL-direct kernel
+        never materializes it)."""
+        if self._A is None:
+            if self.mesh is not None:
+                build = jax.jit(
+                    _build_A_T, static_argnames=("n_tiles", "w_width"),
+                    out_shardings=self._tile3_sharding)
+            else:
+                build = _build_A_T
+            A = build(
+                jnp.asarray(np.ascontiguousarray(
+                    self._loc_host.reshape(-1, self._K))),
+                jnp.asarray(np.ascontiguousarray(
+                    self._w_host.reshape(-1, self._K)), dtype=jnp.float32),
+                n_tiles=self.n_tiles, w_width=self.W,
+            )
+            self._A = _prep_A(A, self.precision, self._dtype)
+        return self._A
+
+    def _ell_dev(self):
+        """loc/w in the kernel's (n_tiles, K, TILE) layout, on device."""
+        if self._locw_dev is None:
+            loc3 = np.ascontiguousarray(
+                np.asarray(self._loc_host)
+                .reshape(self.n_tiles, TILE, self._K)
+                .transpose(0, 2, 1)).astype(np.int32)
+            w3 = np.ascontiguousarray(
+                np.asarray(self._w_host)
+                .reshape(self.n_tiles, TILE, self._K)
+                .transpose(0, 2, 1)).astype(np.float32)
+            if self.mesh is not None:
+                self._locw_dev = (
+                    jax.device_put(loc3, self._tile3_sharding),
+                    jax.device_put(w3, self._tile3_sharding))
+            else:
+                self._locw_dev = (jnp.asarray(loc3), jnp.asarray(w3))
+        return self._locw_dev
 
     def _use_fused(self) -> bool:
         """Route to the fused Pallas kernel? With a mesh, each device runs
@@ -446,10 +534,19 @@ class SlabMatmulRegridder:
         tile-row band under shard_map; the row-sharded output needs no
         collective (the reference's target decomposition,
         model_grid.F90:687-703)."""
-        from .pallas_matmul import fused_apply
+        from .pallas_matmul import ell_fits_vmem, fused_apply, fused_apply_packed
 
         interpret = jax.default_backend() != "tpu"
+        Cp = slab.shape[2]
+        use_ell = self._ell_kernel and ell_fits_vmem(
+            self.W, (self._K,), Cp, self.precision)
         if self.mesh is None:
+            if use_ell:
+                loc, w = self._ell_dev()
+                return fused_apply_packed(
+                    None, slab, ranges=((0, Cp),), nty=self.nty,
+                    ntx=self.ntx, precision=self.precision,
+                    interpret=interpret, locs=(loc,), ws=(w,))
             return fused_apply(self.A, slab, nty=self.nty, ntx=self.ntx,
                                precision=self.precision, interpret=interpret)
         if self._fused_sharded is None:
@@ -458,14 +555,27 @@ class SlabMatmulRegridder:
             ax = self.mesh.axis_names[0]
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             nty_l = self.nty_p // n_dev
+            if use_ell:
+                def fn(loc, w, s):
+                    return fused_apply_packed(
+                        None, s, ranges=((0, s.shape[2]),), nty=nty_l,
+                        ntx=self.ntx, precision=self.precision,
+                        interpret=interpret, locs=(loc,), ws=(w,))
+            else:
+                fn = partial(fused_apply, nty=nty_l, ntx=self.ntx,
+                             precision=self.precision, interpret=interpret)
+            n_in = 3 if use_ell else 2
             self._fused_sharded = jax.jit(jax.shard_map(
-                partial(fused_apply, nty=nty_l, ntx=self.ntx,
-                        precision=self.precision, interpret=interpret),
+                fn,
                 mesh=self.mesh,
-                in_specs=(P(ax, None, None), P(ax, None, None)),
+                in_specs=(P(ax, None, None),) * n_in,
                 out_specs=P(ax, None, None),
                 # pallas_call's out_shape carries no varying-mesh-axes info
                 check_vma=False))
+            self._fused_sharded_ell = use_ell
+        if self._fused_sharded_ell:
+            loc, w = self._ell_dev()
+            return self._fused_sharded(loc, w, slab)
         return self._fused_sharded(self.A, slab)
 
     def __call__(self, src_dev):
@@ -503,7 +613,7 @@ class SlabMatmulRegridder:
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=2)
         return _unblock(out[: self.n_tiles_data], self.nty, self.ntx)[:, :, :C]
 
-    def apply_np(self, src, root_only: bool = False):
+    def apply_np(self, src, root_only: bool = False, strip_sink=None):
         """Host-array apply with bounded device memory: the slab is gathered
         once, then each CB-column chunk is matmul'd, unblocked, and fetched
         to host before the next chunk allocates — peak device residency is
@@ -512,24 +622,31 @@ class SlabMatmulRegridder:
         The host fetch mirrors the reference's gather-to-rank-0 for the
         serial NetCDF write (write_data.F90:1006); with ``root_only`` only
         process 0 materializes the host array, the others return a
-        zero-stride broadcast view (terminal fields only)."""
+        zero-stride broadcast view (terminal fields only).
+
+        ``src`` may be a list of column blocks (assembled on device, never
+        concatenated on host — see _src_to_device). With ``strip_sink``,
+        each fetched (ny, nx, cb) strip is handed to
+        ``strip_sink(col_lo, strip)`` instead of being assembled into one
+        host array (the streaming NetCDF write path; peak host memory is
+        one strip) and None is returned; non-primary processes under
+        root_only still participate in the fetch collectives but never
+        call the sink."""
         from ..parallel.multihost import fetch_to_host, is_primary
 
-        src = np.asarray(src, dtype=np.float32)
-        squeeze = src.ndim == 1
-        if squeeze:
-            src = src[:, None]
-        C = src.shape[1]
-        pad = (-C) % LANE
-        if pad:
-            src = np.pad(src, ((0, 0), (0, pad)))
-        Cp = C + pad
-        src_dev = jnp.asarray(src)
-        if self._src_sharding is not None:
-            src_dev = jax.device_put(src_dev, self._src_sharding)
+        def ncols(b):
+            return 1 if np.asarray(b).ndim == 1 else np.asarray(b).shape[1]
+
+        is_blocks = isinstance(src, (list, tuple))
+        squeeze = not is_blocks and np.asarray(src).ndim == 1
+        C = sum(ncols(b) for b in src) if is_blocks else ncols(src)
+        Cp = C + ((-C) % LANE)
+        src_dev = _src_to_device(
+            [src] if squeeze else src, Cp, self._src_sharding)
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         ny, nx = self.dst_shape
-        materialize = not root_only or is_primary()
+        materialize = (not root_only or is_primary()) and strip_sink is None
+        deliver = strip_sink is not None and (not root_only or is_primary())
         out = (np.empty((ny, nx, C), np.float32) if materialize
                else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
 
@@ -549,6 +666,10 @@ class SlabMatmulRegridder:
                         root_only=root_only)
                     if materialize:
                         out[:, :, lo:lo + cb_eff] = fetched
+                    elif deliver:
+                        strip_sink(lo, fetched)
+            if strip_sink is not None:
+                return None
             return out[:, :, 0] if squeeze else out
 
         for lo in range(0, Cp, CB):
@@ -566,6 +687,10 @@ class SlabMatmulRegridder:
                                     root_only=root_only)
             if materialize:
                 out[:, :, lo:lo + cb_eff] = fetched
+            elif deliver:
+                strip_sink(lo, fetched)
+        if strip_sink is not None:
+            return None
         return out[:, :, 0] if squeeze else out
 
 
@@ -600,6 +725,9 @@ class PackedSlabRegridder:
     reference pays a separate sweep, interp.F90:291-293; a post-hoc rotate
     here would re-read and re-write every wind level from HBM).
     """
+
+    #: apply_np accepts a list of column blocks (device-side assembly)
+    accepts_blocks = True
 
     def __init__(self, ells_and_cols, dtype=jnp.float32,
                  precision: str = "highest", mesh=None,
@@ -662,31 +790,24 @@ class PackedSlabRegridder:
 
             axis = mesh.axis_names[0]
             self._tile_sharding = NamedSharding(mesh, P(axis, None))
-            tile3 = NamedSharding(mesh, P(axis, None, None))
+            self._tile3_sharding = NamedSharding(mesh, P(axis, None, None))
             self._src_sharding = NamedSharding(mesh, P())
             self.slab_idx = jax.device_put(slab_idx, self._tile_sharding)
-            build = jax.jit(
-                _build_A_T, static_argnames=("n_tiles", "w_width"),
-                out_shardings=tile3)
         else:
+            self._tile3_sharding = None
             self._src_sharding = None
             self.slab_idx = jnp.asarray(slab_idx)
-            build = _build_A_T
 
-        # per-method A over the union slab (loc slices follow the
-        # K-concatenation order)
-        loc3 = loc.reshape(n_tiles, TILE, sum(Ks))
-        w3 = loc_w.reshape(n_tiles, TILE, sum(Ks))
-        self.As = []
-        koff = 0
-        for K in Ks:
-            loc_m = loc3[:, :, koff:koff + K].reshape(-1, K)
-            w_m = w3[:, :, koff:koff + K].reshape(-1, K)
-            A = build(jnp.asarray(loc_m),
-                      jnp.asarray(w_m, dtype=jnp.float32),
-                      n_tiles=n_tiles, w_width=W)
-            self.As.append(_prep_A(A, precision, dtype))
-            koff += K
+        # per-method loc/w slices over the union slab (following the
+        # K-concatenation order); the prestacked As and the kernel-layout
+        # loc/w device arrays are both derived lazily from these
+        self._Ks = Ks
+        self._dtype = dtype
+        self._loc3 = loc.reshape(n_tiles, TILE, sum(Ks))
+        self._w3 = loc_w.reshape(n_tiles, TILE, sum(Ks))
+        self._ell_kernel = os.environ.get("MPASSIT_ELL_KERNEL", "1") != "0"
+        self._As = None
+        self._locws = None
         self._fused_sharded = None
 
         # in-apply wind rotation (quirk Q4): cosa/sina padded with the
@@ -725,6 +846,54 @@ class PackedSlabRegridder:
                 self._cosa_t = jnp.asarray(cs_t[..., 0])
                 self._sina_t = jnp.asarray(cs_t[..., 1])
 
+    @property
+    def As(self):
+        """Prestacked per-method one-hot operators, built on first use
+        (XLA path and non-ELL kernel only)."""
+        if self._As is None:
+            if self.mesh is not None:
+                build = jax.jit(
+                    _build_A_T, static_argnames=("n_tiles", "w_width"),
+                    out_shardings=self._tile3_sharding)
+            else:
+                build = _build_A_T
+            self._As = []
+            koff = 0
+            for K in self._Ks:
+                loc_m = np.ascontiguousarray(
+                    self._loc3[:, :, koff:koff + K]).reshape(-1, K)
+                w_m = np.ascontiguousarray(
+                    self._w3[:, :, koff:koff + K]).reshape(-1, K)
+                A = build(jnp.asarray(loc_m),
+                          jnp.asarray(w_m, dtype=jnp.float32),
+                          n_tiles=self.n_tiles, w_width=self.W)
+                self._As.append(_prep_A(A, self.precision, self._dtype))
+                koff += K
+        return self._As
+
+    def _ell_dev(self):
+        """Per-method (n_tiles, K, TILE) loc/w device arrays for the
+        ELL-direct kernel."""
+        if self._locws is None:
+            locs, ws = [], []
+            koff = 0
+            for K in self._Ks:
+                lm = np.ascontiguousarray(
+                    np.asarray(self._loc3[:, :, koff:koff + K])
+                    .transpose(0, 2, 1)).astype(np.int32)
+                wm = np.ascontiguousarray(
+                    np.asarray(self._w3[:, :, koff:koff + K])
+                    .transpose(0, 2, 1)).astype(np.float32)
+                if self.mesh is not None:
+                    locs.append(jax.device_put(lm, self._tile3_sharding))
+                    ws.append(jax.device_put(wm, self._tile3_sharding))
+                else:
+                    locs.append(jnp.asarray(lm))
+                    ws.append(jnp.asarray(wm))
+                koff += K
+            self._locws = (tuple(locs), tuple(ws))
+        return self._locws
+
     def _use_fused(self) -> bool:
         if self.backend == "xla":
             return False
@@ -734,6 +903,12 @@ class PackedSlabRegridder:
             return True
         return (jax.default_backend() == "tpu"
                 and fused_available(self.W, self.precision))
+
+    def _use_ell(self) -> bool:
+        from .pallas_matmul import ell_fits_vmem
+
+        return self._ell_kernel and ell_fits_vmem(
+            self.W, tuple(self._Ks), self.Cp, self.precision)
 
     @property
     def Cp(self) -> int:
@@ -747,26 +922,40 @@ class PackedSlabRegridder:
         interpret = jax.default_backend() != "tpu"
         ranges = tuple(self.ranges)
         rot = self.rotate
+        use_ell = self._use_ell()
+        if use_ell:
+            locs, ws = self._ell_dev()
+            ops, nA = list(locs) + list(ws), 2 * len(self._Ks)
+        else:
+            ops, nA = list(self.As), len(self._Ks)
         if self.mesh is None:
+            kw = ({"locs": locs, "ws": ws} if use_ell else {})
             return fused_apply_packed(
-                tuple(self.As), slab, ranges=ranges, nty=self.nty,
-                ntx=self.ntx, precision=self.precision, interpret=interpret,
-                rotate=rot, cosa=self._cosa_t, sina=self._sina_t)
+                None if use_ell else tuple(ops), slab, ranges=ranges,
+                nty=self.nty, ntx=self.ntx, precision=self.precision,
+                interpret=interpret, rotate=rot, cosa=self._cosa_t,
+                sina=self._sina_t, **kw)
         if self._fused_sharded is None:
             from jax.sharding import PartitionSpec as P
 
             ax = self.mesh.axis_names[0]
             n_dev = int(np.prod(list(self.mesh.shape.values())))
             nty_l = self.nty_p // n_dev
-            nA = len(self.As)
+            nm = len(self._Ks)
 
             def shard_fn(*args):
                 kw = {}
                 if rot:
                     kw = {"rotate": rot, "cosa": args[nA + 1],
                           "sina": args[nA + 2]}
+                if use_ell:
+                    kw["locs"] = tuple(args[:nm])
+                    kw["ws"] = tuple(args[nm:2 * nm])
+                    A_arg = None
+                else:
+                    A_arg = tuple(args[:nA])
                 return fused_apply_packed(
-                    tuple(args[:nA]), args[nA], ranges=ranges, nty=nty_l,
+                    A_arg, args[nA], ranges=ranges, nty=nty_l,
                     ntx=self.ntx, precision=self.precision,
                     interpret=interpret, **kw)
 
@@ -779,7 +968,7 @@ class PackedSlabRegridder:
                 out_specs=P(ax, None, None),
                 check_vma=False))
         extra = (self._cosa_t, self._sina_t) if rot else ()
-        return self._fused_sharded(*self.As, slab, *extra)
+        return self._fused_sharded(*ops, slab, *extra)
 
     def _rotate_post(self, o):
         """XLA-path equivalent of the in-kernel rotation: same elementwise
@@ -841,22 +1030,20 @@ class PackedSlabRegridder:
             _unblock(out[: self.n_tiles_data], self.nty, self.ntx))
         return full[:, :, :self.C_total]
 
-    def apply_np(self, src, root_only: bool = False):
-        """Host apply, fetched in CB strips (see SlabMatmulRegridder)."""
+    def apply_np(self, src, root_only: bool = False, strip_sink=None):
+        """Host apply, fetched in CB strips (see SlabMatmulRegridder).
+        ``src`` may be a list of column blocks (device-side assembly);
+        with ``strip_sink`` each strip streams to the sink instead of
+        materializing the (ny, nx, C_total) host array."""
         from ..parallel.multihost import fetch_to_host, is_primary
 
-        src = np.asarray(src, dtype=np.float32)
         C = self.C_total
         ny, nx = self.dst_shape
-        materialize = not root_only or is_primary()
+        materialize = (not root_only or is_primary()) and strip_sink is None
+        deliver = strip_sink is not None and (not root_only or is_primary())
         out = (np.empty((ny, nx, C), np.float32) if materialize
                else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
-        pad = self.Cp - C
-        if pad:
-            src = np.pad(src, ((0, 0), (0, pad)))
-        src_dev = jnp.asarray(src)
-        if self._src_sharding is not None:
-            src_dev = jax.device_put(src_dev, self._src_sharding)
+        src_dev = _src_to_device(src, self.Cp, self._src_sharding)
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         if self._use_fused():
             # the packed kernel writes the FULL packed width in one pass
@@ -872,4 +1059,8 @@ class PackedSlabRegridder:
                                     root_only=root_only)
             if materialize:
                 out[:, :, lo:lo + cb_eff] = fetched
+            elif deliver:
+                strip_sink(lo, fetched)
+        if strip_sink is not None:
+            return None
         return out

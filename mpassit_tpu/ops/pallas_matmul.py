@@ -168,9 +168,52 @@ def fused_apply(A, slab, *, nty, ntx, precision="split_bf16",
     )(A, slab)
 
 
-def _kernel_packed(*refs, ranges, split, checksum=False, rotate=()):
+def _stack_A_vmem(A, mode):
+    """In-kernel compensated stacking of a freshly-built f32 A — the A-side
+    patterns (matmul_apply._stack_A/_stack_A6) that pair with _stack_slab's
+    slab-side patterns:
+
+    split_bf16:  (Ah, Ah, Al)                pairs (Sh, Sl, Sh)
+    split6_bf16: (A0, A0, A1, A0, A1, A2)    pairs (S0, S1, S0, S2, S1, S0)
+    """
+    if mode == "split_bf16":
+        hi = A.astype(jnp.bfloat16)
+        lo = (A - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, hi, lo], axis=0)
+    a0 = A.astype(jnp.bfloat16)
+    r1 = A - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
+    a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([a0, a0, a1, a0, a1, a2], axis=0)
+
+
+def _build_A_vmem(loc_ref, w_ref, W, split):
+    """Build one method's stacked one-hot A (kW, TILE) IN VMEM from its
+    ELL arrays: loc (1, K, TILE) int32 + w (1, K, TILE) f32.
+
+    This replaces streaming a prestacked (kW, TILE) bf16 A from HBM —
+    per target point the ELL pair is 8K bytes vs 6W (split) / 12W
+    (split6) for the A: at the production full-mesh W=80 the A stream was
+    ~950 MB/pass, ~16% of all HBM traffic, vs ~30 MB for loc/w. The
+    K one-hot accumulations are W x TILE x K VPU select-adds per tile —
+    noise next to the tile's MXU work (the same trade _build_A_T makes at
+    setup, moved into the kernel where it costs no HBM)."""
+    L = loc_ref[0]                       # (K, TILE) int32
+    Wt = w_ref[0]                        # (K, TILE) f32
+    K = L.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, TILE), 0)
+    A = jnp.zeros((W, TILE), jnp.float32)
+    for k in range(K):
+        A = A + jnp.where(iota == L[k:k + 1, :], Wt[k:k + 1, :], 0.0)
+    return _stack_A_vmem(A, split) if split else A
+
+
+def _kernel_packed(*refs, ranges, split, checksum=False, rotate=(),
+                   ell_Ks=None, W=None):
     """Multi-method packed kernel: refs = (*a_refs, slab_ref[, cosa_ref,
-    sina_ref], out_ref[, cs_ref]).
+    sina_ref], out_ref[, cs_ref]) — or, with ``ell_Ks`` set,
+    (*loc_refs, *w_refs, slab_ref[, ...]) and each method's A is built in
+    VMEM by _build_A_vmem instead of streamed from HBM.
 
     Each a_ref is one method's A over the shared UNION slab; method m's
     product lands in out columns [c0, c1) = ranges[m]. Unaligned range
@@ -199,8 +242,16 @@ def _kernel_packed(*refs, ranges, split, checksum=False, rotate=()):
     VMEM — the benchmark's materialized-output guard without a full HBM
     re-read of the output (the VPU multiply-adds overlap the out-block
     DMA)."""
-    a_refs = list(refs[:len(ranges)])
-    rest = list(refs[len(ranges):])
+    nm = len(ranges)
+    if ell_Ks is None:
+        a_refs = list(refs[:nm])
+        rest = list(refs[nm:])
+        As = [a_ref[0] for a_ref in a_refs]
+    else:
+        loc_refs, w_refs = refs[:nm], refs[nm:2 * nm]
+        rest = list(refs[2 * nm:])
+        As = [_build_A_vmem(loc_refs[m], w_refs[m], W, split)
+              for m in range(nm)]
     slab_ref = rest.pop(0)
     if rotate:
         cosa_ref, sina_ref = rest.pop(0), rest.pop(0)
@@ -212,11 +263,11 @@ def _kernel_packed(*refs, ranges, split, checksum=False, rotate=()):
     prec = None if split else jax.lax.Precision.HIGHEST
     acc = jnp.zeros((), jnp.float32)
     TYk, TXk = out_ref.shape[0], out_ref.shape[1]
-    for a_ref, (c0, c1) in zip(a_refs, ranges):
+    for A_m, (c0, c1) in zip(As, ranges):
         for lo_c in range(c0, c1, CB):
             cw = min(CB, c1 - lo_c)
             out = jax.lax.dot_general(
-                a_ref[0], s3[:, lo_c:lo_c + cw],
+                A_m, s3[:, lo_c:lo_c + cw],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)
@@ -282,10 +333,17 @@ def _validate_rotate(rotate, ranges, Cp):
                           "with_checksum", "rotate"))
 def fused_apply_packed(As, slab, *, ranges, nty, ntx,
                        precision="split_bf16", interpret=False,
-                       with_checksum=False, rotate=(), cosa=None, sina=None):
+                       with_checksum=False, rotate=(), cosa=None, sina=None,
+                       locs=None, ws=None):
     """Packed multi-method apply: As = tuple of (n_tiles, Wa, TILE) one-hot
     operators over ONE union slab (n_tiles, W, Cp); ranges = per-A absolute
     output column ranges, ascending, ranges[-1][1] <= Cp, Cp % LANE == 0.
+
+    Alternatively pass As=None with ``locs``/``ws`` — tuples of one
+    (n_tiles, K_m, TILE) int32 / f32 pair per method — and each A is built
+    in VMEM from the ELL arrays (_build_A_vmem): ~8K bytes of HBM per
+    target instead of 6W/12W for a prestacked A, the dominant non-output
+    traffic at production slab widths.
 
     Returns (nty*TY, ntx*TX, Cp) f32 in final row-major layout; one HBM
     write pass covers every method (see PackedSlabRegridder). With
@@ -314,13 +372,27 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
         if cosa is None or sina is None:
             raise ValueError("rotate windows require cosa and sina")
     split = precision if precision.startswith("split") else None
-    Wa = As[0].shape[1]
-    kernel = partial(_kernel_packed, ranges=ranges, split=split,
-                     checksum=with_checksum, rotate=rotate)
-    in_specs = (
-        [pl.BlockSpec((1, Wa, TILE), lambda i, j: (i * ntx + j, 0, 0))
-         for _ in As]
-        + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))])
+    if As is None:
+        if locs is None or ws is None or len(locs) != len(ranges):
+            raise ValueError("As=None requires one locs/ws pair per range")
+        ell_Ks = tuple(l.shape[1] for l in locs)
+        kernel = partial(_kernel_packed, ranges=ranges, split=split,
+                         checksum=with_checksum, rotate=rotate,
+                         ell_Ks=ell_Ks, W=W)
+        in_specs = [
+            pl.BlockSpec((1, K, TILE), lambda i, j: (i * ntx + j, 0, 0))
+            for K in ell_Ks
+        ] * 2 + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))]
+        operands = list(locs) + list(ws) + [slab]
+    else:
+        Wa = As[0].shape[1]
+        kernel = partial(_kernel_packed, ranges=ranges, split=split,
+                         checksum=with_checksum, rotate=rotate)
+        in_specs = (
+            [pl.BlockSpec((1, Wa, TILE), lambda i, j: (i * ntx + j, 0, 0))
+             for _ in As]
+            + [pl.BlockSpec((1, W, Cp), lambda i, j: (i * ntx + j, 0, 0))])
+        operands = list(As) + [slab]
     if rotate:
         in_specs += [pl.BlockSpec((1, TY, TX),
                                   lambda i, j: (i * ntx + j, 0, 0)),
@@ -343,7 +415,6 @@ def fused_apply_packed(As, slab, *, ranges, nty, ntx,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_VMEM_BYTES)
-    operands = list(As) + [slab]
     if rotate:
         operands += [cosa, sina]
     res = pl.pallas_call(
@@ -369,6 +440,19 @@ def _fits_vmem(Wa, W, Cp, a_dtype) -> bool:
     work = 2 * (a_bytes + W * Cp * 4 + TILE * Cp * 4)
     if split:
         work += Wa * Cp * 2
+    return work <= _VMEM_BYTES // 2
+
+
+def ell_fits_vmem(W, Ks, Cp, precision="split_bf16") -> bool:
+    """VMEM check for the ELL-direct packed kernel at full column width:
+    double-buffered loc/w/slab/out blocks plus the un-pipelined in-kernel
+    temporaries (per-method f32 A + stacked bf16 A, stacked slab)."""
+    k = {"split_bf16": 3, "split6_bf16": 6}.get(precision)
+    kW = (k or 1) * W
+    work = 2 * (sum(Ks) * TILE * 8 + W * Cp * 4 + TILE * Cp * 4)
+    work += len(Ks) * (W * TILE * 4 + (kW * TILE * 2 if k else 0))
+    if k:
+        work += kW * Cp * 2
     return work <= _VMEM_BYTES // 2
 
 

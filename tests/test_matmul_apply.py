@@ -150,8 +150,10 @@ def test_rejects_too_many_uniques(problem):
     """A fully scattered operator exceeds the per-tile unique-row cap."""
     mesh, grid, ell = problem
     rng = np.random.default_rng(1)
-    scrambled = dataclasses.replace(ell, idx=rng.integers(
-        0, ell.n_src, size=ell.idx.shape).astype(np.int32))
+    # a fake huge source space so a 32x32 tile's K*TILE random draws
+    # exceed W_CAP=2048 distinct rows
+    scrambled = dataclasses.replace(ell, n_src=500_000, idx=rng.integers(
+        0, 500_000, size=ell.idx.shape).astype(np.int32))
     with pytest.raises(ValueError, match="unique source rows"):
         SlabMatmulRegridder(scrambled)
 
