@@ -329,8 +329,73 @@ def _pack_union(idx, w, ny, nx, n_src, mesh=None):
     return slab_idx, loc, loc_w, W, nty, ntx, n_tiles, n_tiles_data, nty_p
 
 
+#: rows per in-kernel gather DMA chunk (f32 sublane granule)
+CH = 8
+
+
+def _chunk_slab(slab_idx, loc, loc_w, W):
+    """Chunked-run layout for the in-kernel gather: per tile, the sorted
+    unique source rows cluster into contiguous runs under Morton ordering
+    (measured: ~20 runs / ~25 8-row chunks per tile at the 2.6M-cell
+    W=80 load; ~7 at CONUS W=16). Each run becomes ceil(L/CH) fixed-size
+    (CH, Cp) DMA copies from src into a per-tile slab scratch whose slots
+    are CH-padded per run — the whole slab gather is ~25 descriptor
+    issues per tile instead of a separate XLA gather pass over HBM.
+
+    Chunk starts are CH-ALIGNED source rows (stored divided by CH —
+    Mosaic can only prove the (8, 128)-tiled HBM slice legal when the
+    row offset is an explicit multiple of 8), so each run's copies cover
+    [floor(r0/CH)*CH, r0+L) and its rows land at slot base + (r0 - a0)
+    + i.
+
+    Returns (ch_src (n_tiles, NC) int32 chunk starts DIVIDED BY CH (pad
+    chunks point at row 0 and land in slots no weight references), loc8
+    (n_tiles, TILE*K) remapped local indices, W8 = NC*CH)."""
+    n_tiles, W_ = slab_idx.shape
+    lw = np.asarray(loc_w).reshape(n_tiles, -1)
+    lc = np.asarray(loc).reshape(n_tiles, -1).astype(np.int64)
+    used = np.zeros((n_tiles, W_), bool)
+    # set-only-True scatter: loc has duplicates (several ELL entries per
+    # row, plus w=0 pads clipped to position 0) — put_along_axis would
+    # let a later pad overwrite a real row's True
+    sel = lw != 0
+    flat = (np.arange(n_tiles)[:, None] * W_ + lc)[sel]
+    used.reshape(-1)[flat] = True
+    chunks = []
+    pos_maps = np.zeros((n_tiles, W_), np.int64)
+    for t in range(n_tiles):
+        rows_t = np.asarray(slab_idx[t])
+        u = used[t]
+        # slab rows are sorted unique; runs = consecutive-row groups
+        upos = np.nonzero(u)[0]
+        ch_t = []
+        if len(upos):
+            rows = rows_t[upos]
+            brk = np.nonzero(np.diff(rows) != 1)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk + 1, [len(rows)]))
+            pm = np.zeros(W_, np.int64)
+            for s0, e0 in zip(starts, ends):
+                base = len(ch_t) * CH
+                r0 = int(rows[s0])
+                a0 = (r0 // CH) * CH          # aligned coverage start
+                for a in range(a0, int(rows[e0 - 1]) + 1, CH):
+                    ch_t.append(a // CH)
+                pm[upos[s0:e0]] = base + (r0 - a0) + np.arange(e0 - s0)
+            pos_maps[t] = pm
+        chunks.append(ch_t)
+    NC = max(1, max(len(c) for c in chunks))
+    ch_src = np.zeros((n_tiles, NC), np.int32)
+    for t, c in enumerate(chunks):
+        ch_src[t, :len(c)] = c
+    loc8 = np.take_along_axis(pos_maps, lc, axis=1)
+    W8 = NC * CH
+    ldt = np.uint8 if W8 <= 256 else (np.int16 if W8 <= 32767 else np.int32)
+    return ch_src, loc8.astype(ldt), W8
+
+
 #: pack-cache layout version — bump when _pack_union's output changes
-_PACK_VERSION = 2
+_PACK_VERSION = 4
 
 
 def _pack_cache_path(cache_dir, ell_fps, ny, nx, n_dev):
@@ -343,13 +408,15 @@ def _pack_cache_path(cache_dir, ell_fps, ny, nx, n_dev):
 
 
 def _pack_compact(out):
-    """Shrink _pack_union's output to the dtypes the consumers need: loc
-    values are < W (uint8/int16 instead of int32 — also the host->device
-    bytes), and loc_w only ever feeds the f32 A build."""
+    """Shrink _pack_union's output to the dtypes the consumers need (loc
+    values are < W — uint8/int16 instead of int32, also the host->device
+    bytes; loc_w only ever feeds the f32 A build) and derive the
+    chunked-run gather layout (_chunk_slab)."""
     slab_idx, loc, loc_w, W, nty, ntx, n_tiles, ntd, nty_p = out
     ldt = np.uint8 if W <= 256 else (np.int16 if W <= 32767 else np.int32)
+    ch_src, loc8, W8 = _chunk_slab(slab_idx, loc, loc_w, W)
     return (slab_idx, loc.astype(ldt), loc_w.astype(np.float32), W, nty,
-            ntx, n_tiles, ntd, nty_p)
+            ntx, n_tiles, ntd, nty_p, ch_src, loc8, W8)
 
 
 def _pack_union_cached(idx_w_fn, ny, nx, n_src, mesh=None, cache_dir=None,
@@ -376,18 +443,21 @@ def _pack_union_cached(idx_w_fn, ny, nx, n_src, mesh=None, cache_dir=None,
                 return (arrs["slab_idx"], arrs["loc"], arrs["loc_w"],
                         int(meta["W"]), int(meta["nty"]), int(meta["ntx"]),
                         int(meta["n_tiles"]), int(meta["n_tiles_data"]),
-                        int(meta["nty_p"]))
+                        int(meta["nty_p"]), arrs["ch_src"], arrs["loc8"],
+                        int(meta["W8"]))
             except KeyError:
                 pass  # incomplete entry: rebuild
     idx, w = idx_w_fn()
     out = _pack_compact(_pack_union(idx, w, ny, nx, n_src, mesh=mesh))
     if path is not None:
-        slab_idx, loc, loc_w, W, nty, ntx, n_tiles, ntd, nty_p = out
+        (slab_idx, loc, loc_w, W, nty, ntx, n_tiles, ntd, nty_p,
+         ch_src, loc8, W8) = out
         save_arrays(
             path,
             {"W": W, "nty": nty, "ntx": ntx, "n_tiles": n_tiles,
-             "n_tiles_data": ntd, "nty_p": nty_p},
-            {"slab_idx": slab_idx, "loc": loc, "loc_w": loc_w})
+             "n_tiles_data": ntd, "nty_p": nty_p, "W8": W8},
+            {"slab_idx": slab_idx, "loc": loc, "loc_w": loc_w,
+             "ch_src": ch_src, "loc8": loc8})
     return out
 
 
@@ -431,7 +501,8 @@ class SlabMatmulRegridder:
         self.dst_shape = (ny, nx)
 
         (slab_idx, loc, loc_w, W, self.nty, self.ntx, n_tiles,
-         self.n_tiles_data, self.nty_p) = _pack_union_cached(
+         self.n_tiles_data, self.nty_p, self._ch_src, self._loc8,
+         self.W8) = _pack_union_cached(
             lambda: (np.asarray(ell.idx, dtype=np.int64),
                      np.asarray(ell.w, dtype=np.float64)),
             ny, nx, self.n_src, mesh=mesh, cache_dir=cache_dir,
@@ -512,6 +583,48 @@ class SlabMatmulRegridder:
             else:
                 self._locw_dev = (jnp.asarray(loc3), jnp.asarray(w3))
         return self._locw_dev
+
+    def _gather_dev(self):
+        """(ch_src, loc8, w) device arrays for the in-kernel-gather
+        kernel (chunk starts + chunk-layout local indices)."""
+        if getattr(self, "_gather_cache", None) is None:
+            loc83 = np.ascontiguousarray(
+                np.asarray(self._loc8)
+                .reshape(self.n_tiles, TILE, self._K)
+                .transpose(0, 2, 1)).astype(np.int32)
+            w3 = np.ascontiguousarray(
+                np.asarray(self._w_host)
+                .reshape(self.n_tiles, TILE, self._K)
+                .transpose(0, 2, 1)).astype(np.float32)
+            self._gather_cache = (
+                jnp.asarray(np.asarray(self._ch_src, np.int32)),
+                jnp.asarray(loc83), jnp.asarray(w3))
+        return self._gather_cache
+
+    def _use_gather(self, Cp) -> bool:
+        """Route to the in-kernel-gather kernel? Real-TPU single-device
+        only (interpret-mode DMA emulation is too slow for tests; the
+        sharded path keeps the take+kernel composition).
+        MPASSIT_GATHER_KERNEL=0 disables."""
+        from .pallas_matmul import gather_fits_vmem
+
+        return (self._ell_kernel and self.mesh is None
+                and self.backend != "xla"
+                and os.environ.get("MPASSIT_GATHER_KERNEL", "1") != "0"
+                and jax.default_backend() == "tpu"
+                and gather_fits_vmem(self.W8, (self._K,), Cp,
+                                     self.precision))
+
+    def _gather_full(self, src_dev_padded, Cp):
+        """(n_src+CH, Cp) src -> (nyp_p, nxp, Cp) with the slab gathered
+        in-kernel (fused_apply_packed_gather)."""
+        from .pallas_matmul import fused_apply_packed_gather
+
+        ch, loc8, w = self._gather_dev()
+        return fused_apply_packed_gather(
+            src_dev_padded, ch, (loc8,), (w,), W8=self.W8,
+            ranges=((0, Cp),), nty=self.nty, ntx=self.ntx,
+            precision=self.precision)
 
     def _use_fused(self) -> bool:
         """Route to the fused Pallas kernel? With a mesh, each device runs
@@ -600,6 +713,10 @@ class SlabMatmulRegridder:
         # on v5e), then the MXU runs over CB-column slices of the slab.
         # slab (n_tiles, W, Cp) is sharded over tiles when a mesh is set
         # (indices sharded, source replicated).
+        if self._use_fused() and self._use_gather(Cp):
+            # in-kernel gather: no XLA take, no HBM slab array at all
+            src_pad = jnp.pad(src_dev, ((0, CH), (0, 0)))
+            return self._gather_full(src_pad, Cp)[: self.nty * TY, :, :C]
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         if self._use_fused():
             # crop sharding-padded tile rows so both backends honor the
@@ -643,13 +760,29 @@ class SlabMatmulRegridder:
         Cp = C + ((-C) % LANE)
         src_dev = _src_to_device(
             [src] if squeeze else src, Cp, self._src_sharding)
-        slab = jnp.take(src_dev, self.slab_idx, axis=0)
         ny, nx = self.dst_shape
         materialize = (not root_only or is_primary()) and strip_sink is None
         deliver = strip_sink is not None and (not root_only or is_primary())
         out = (np.empty((ny, nx, C), np.float32) if materialize
                else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
 
+        if self._use_fused() and Cp <= FETCH and self._use_gather(Cp):
+            # in-kernel gather (single output group): no take, no slab
+            out_g = self._gather_full(jnp.pad(src_dev, ((0, CH), (0, 0))),
+                                      Cp)
+            for lo in range(0, C, CB):
+                cb_eff = min(CB, C - lo)
+                fetched = fetch_to_host(out_g[:ny, :nx, lo:lo + cb_eff],
+                                        root_only=root_only)
+                if materialize:
+                    out[:, :, lo:lo + cb_eff] = fetched
+                elif deliver:
+                    strip_sink(lo, fetched)
+            if strip_sink is not None:
+                return None
+            return out[:, :, 0] if squeeze else out
+
+        slab = jnp.take(src_dev, self.slab_idx, axis=0)
         if self._use_fused():
             # The kernel writes the final layout per FETCH-column group
             # (bounds device residency to one group's (nyp, nxp, FETCH)
@@ -778,7 +911,8 @@ class PackedSlabRegridder:
                         [np.asarray(e.w, np.float64) for e in ells], axis=1))
 
         (slab_idx, loc, loc_w, W, self.nty, self.ntx, n_tiles,
-         self.n_tiles_data, self.nty_p) = _pack_union_cached(
+         self.n_tiles_data, self.nty_p, self._ch_src, self._loc8,
+         self.W8) = _pack_union_cached(
             _cat, ny, nx, self.n_src, mesh=mesh, cache_dir=cache_dir,
             ell_fps=(tuple(e.fingerprint() for e in ells)
                      if cache_dir else None))
@@ -893,6 +1027,52 @@ class PackedSlabRegridder:
                 koff += K
             self._locws = (tuple(locs), tuple(ws))
         return self._locws
+
+    def _gather_dev(self):
+        """(ch_src, locs8, ws) device arrays for the in-kernel-gather
+        kernel, per method."""
+        if getattr(self, "_gather_cache", None) is None:
+            locs, ws = [], []
+            koff = 0
+            loc83 = np.asarray(self._loc8).reshape(
+                self.n_tiles, TILE, sum(self._Ks))
+            for K in self._Ks:
+                locs.append(jnp.asarray(np.ascontiguousarray(
+                    loc83[:, :, koff:koff + K].transpose(0, 2, 1))
+                    .astype(np.int32)))
+                ws.append(jnp.asarray(np.ascontiguousarray(
+                    np.asarray(self._w3[:, :, koff:koff + K])
+                    .transpose(0, 2, 1)).astype(np.float32)))
+                koff += K
+            self._gather_cache = (
+                jnp.asarray(np.asarray(self._ch_src, np.int32)),
+                tuple(locs), tuple(ws))
+        return self._gather_cache
+
+    def _use_gather(self, Cp) -> bool:
+        from .pallas_matmul import gather_fits_vmem
+
+        return (self._ell_kernel and self.mesh is None
+                and self.backend != "xla"
+                and os.environ.get("MPASSIT_GATHER_KERNEL", "1") != "0"
+                and jax.default_backend() == "tpu"
+                and gather_fits_vmem(self.W8, tuple(self._Ks), Cp,
+                                     self.precision))
+
+    def _gather_full(self, src_dev_padded):
+        """(n_src+CH, Cp) src -> (nyp_p, nxp, Cp), slab gathered
+        in-kernel; same rotation/zero-tail semantics as _fused_full."""
+        from .pallas_matmul import fused_apply_packed_gather
+
+        ch, locs, ws = self._gather_dev()
+        kw = {}
+        if self.rotate:
+            kw = {"rotate": self.rotate, "cosa": self._cosa_t,
+                  "sina": self._sina_t}
+        return fused_apply_packed_gather(
+            src_dev_padded, ch, locs, ws, W8=self.W8,
+            ranges=tuple(self.ranges), nty=self.nty, ntx=self.ntx,
+            precision=self.precision, **kw)
 
     def _use_fused(self) -> bool:
         if self.backend == "xla":
@@ -1022,6 +1202,10 @@ class PackedSlabRegridder:
         pad = self.Cp - self.C_total
         if pad:
             src_dev = jnp.pad(src_dev, ((0, 0), (0, pad)))
+        if self._use_fused() and self._use_gather(self.Cp):
+            src_pad = jnp.pad(src_dev, ((0, CH), (0, 0)))
+            return self._gather_full(src_pad)[: self.nty * TY, :,
+                                              :self.C_total]
         slab = jnp.take(src_dev, self.slab_idx, axis=0)
         if self._use_fused():
             return self._fused_full(slab)[: self.nty * TY, :, :self.C_total]
@@ -1044,12 +1228,16 @@ class PackedSlabRegridder:
         out = (np.empty((ny, nx, C), np.float32) if materialize
                else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
         src_dev = _src_to_device(src, self.Cp, self._src_sharding)
-        slab = jnp.take(src_dev, self.slab_idx, axis=0)
-        if self._use_fused():
+        if self._use_fused() and self._use_gather(self.Cp):
+            # in-kernel gather: no XLA take, no HBM slab array
+            o = self._gather_full(jnp.pad(src_dev, ((0, CH), (0, 0))))
+        elif self._use_fused():
             # the packed kernel writes the FULL packed width in one pass
             # (column ranges are absolute); fetch in CB strips
+            slab = jnp.take(src_dev, self.slab_idx, axis=0)
             o = self._fused_full(slab)
         else:
+            slab = jnp.take(src_dev, self.slab_idx, axis=0)
             out_t = self._xla_full(slab)
             o = self._rotate_post(
                 _unblock(out_t[: self.n_tiles_data], self.nty, self.ntx))

@@ -253,12 +253,20 @@ def _kernel_packed(*refs, ranges, split, checksum=False, rotate=(),
         As = [_build_A_vmem(loc_refs[m], w_refs[m], W, split)
               for m in range(nm)]
     slab_ref = rest.pop(0)
+    cosa_ref = sina_ref = None
     if rotate:
         cosa_ref, sina_ref = rest.pop(0), rest.pop(0)
     out_ref = rest.pop(0)
-    if checksum:
-        cs_ref = rest.pop(0)
-    s = slab_ref[0]
+    cs_ref = rest.pop(0) if checksum else None
+    _packed_core(As, slab_ref[0], out_ref, cs_ref, cosa_ref, sina_ref,
+                 ranges=ranges, split=split, checksum=checksum,
+                 rotate=rotate)
+
+
+def _packed_core(As, s, out_ref, cs_ref, cosa_ref, sina_ref, *, ranges,
+                 split, checksum, rotate):
+    """The packed compute: stacked-operand MXU dots per method range,
+    optional in-kernel Q4 rotation, tail zeroing, per-tile checksum."""
     s3 = _stack_slab(s, split) if split else s
     prec = None if split else jax.lax.Precision.HIGHEST
     acc = jnp.zeros((), jnp.float32)
@@ -310,6 +318,130 @@ def _kernel_packed(*refs, ranges, split, checksum=False, rotate=(),
         ii = jax.lax.broadcasted_iota(jnp.int32, cs_ref.shape, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, cs_ref.shape, 1)
         cs_ref[...] = jnp.where((ii == 0) & (jj == 0), acc, 0.0)
+
+
+CH = 8              # rows per gather DMA chunk (matches matmul_apply.CH)
+
+
+def _kernel_packed_gather(ch_ref, *refs, ranges, split, checksum, rotate,
+                          ell_Ks, W8, NC, ntx):
+    """ELL-direct packed kernel with the slab gather INSIDE the kernel:
+    per tile, NC fixed-size (CH, Cp) DMA copies bring the tile's
+    chunked-run source rows (matmul_apply._chunk_slab) from HBM straight
+    into a VMEM slab scratch — no XLA gather pass, no HBM slab array at
+    all (the separate gather wrote+read ~630 MB/pass and measured 6.6 ms
+    standalone at the 2.6M-cell load). The per-method A builds overlap
+    the copies; the chunk descriptors ride scalar prefetch.
+
+    refs = (*loc_refs, *w_refs, src_ref(HBM)[, cosa, sina], out_ref
+    [, cs_ref], slab_scratch, sems)."""
+    nm = len(ranges)
+    loc_refs, w_refs = refs[:nm], refs[nm:2 * nm]
+    rest = list(refs[2 * nm:])
+    src_ref = rest.pop(0)
+    cosa_ref = sina_ref = None
+    if rotate:
+        cosa_ref, sina_ref = rest.pop(0), rest.pop(0)
+    out_ref = rest.pop(0)
+    cs_ref = rest.pop(0) if checksum else None
+    slab_scr, sems = rest
+    t = pl.program_id(0) * ntx + pl.program_id(1)
+    # ch entries are chunk starts / CH: the explicit * CH lets Mosaic
+    # prove the (8, 128)-tiled HBM row slice is tile-aligned
+    for c in range(NC):
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(ch_ref[t * NC + c] * CH, CH)],
+            slab_scr.at[pl.ds(c * CH, CH)],
+            sems.at[c]).start()
+    # A builds (VPU) overlap the in-flight copies
+    As = [_build_A_vmem(loc_refs[m], w_refs[m], W8, split)
+          for m in range(nm)]
+    for c in range(NC):
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(ch_ref[t * NC + c] * CH, CH)],
+            slab_scr.at[pl.ds(c * CH, CH)],
+            sems.at[c]).wait()
+    _packed_core(As, slab_scr[...], out_ref, cs_ref, cosa_ref, sina_ref,
+                 ranges=ranges, split=split, checksum=checksum,
+                 rotate=rotate)
+
+
+@partial(jax.jit,
+         static_argnames=("ranges", "nty", "ntx", "precision", "interpret",
+                          "with_checksum", "rotate", "W8"))
+def fused_apply_packed_gather(src, ch_src, locs, ws, *, W8, ranges, nty,
+                              ntx, precision="split_bf16", interpret=False,
+                              with_checksum=False, rotate=(), cosa=None,
+                              sina=None):
+    """fused_apply_packed with the slab gather fused in: ``src``
+    (n_src_padded, Cp) f32 stays in HBM (pad n_src by CH rows so the last
+    chunk of a run may over-read), ``ch_src`` (n_tiles, NC) int32 chunk
+    source-row starts, locs/ws per method in the chunk-padded W8 local
+    index space (matmul_apply._chunk_slab). Same outputs/rotation/
+    checksum semantics as fused_apply_packed."""
+    n_tiles = nty * ntx
+    NC = ch_src.shape[1]
+    Cp = src.shape[1]
+    if Cp % LANE:
+        raise ValueError(f"column count {Cp} not a multiple of {LANE}")
+    if W8 != NC * CH:
+        raise ValueError(f"W8 {W8} != NC*CH {NC * CH}")
+    prev = 0
+    for c0, c1 in ranges:
+        if c0 != prev or c1 <= c0:
+            raise ValueError(f"ranges must tile [0, C) contiguously: {ranges}")
+        prev = c1
+    if prev > Cp:
+        raise ValueError(f"ranges end {prev} exceeds padded width {Cp}")
+    if rotate:
+        _validate_rotate(rotate, ranges, Cp)
+        if cosa is None or sina is None:
+            raise ValueError("rotate windows require cosa and sina")
+    split = precision if precision.startswith("split") else None
+    ell_Ks = tuple(l.shape[1] for l in locs)
+    kernel = partial(_kernel_packed_gather, ranges=ranges, split=split,
+                     checksum=with_checksum, rotate=rotate, ell_Ks=ell_Ks,
+                     W8=W8, NC=NC, ntx=ntx)
+    in_specs = [
+        pl.BlockSpec((1, K, TILE), lambda i, j, ch: (i * ntx + j, 0, 0))
+        for K in ell_Ks
+    ] * 2 + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    operands = list(locs) + list(ws) + [src]
+    if rotate:
+        in_specs += [pl.BlockSpec((1, TY, TX),
+                                  lambda i, j, ch: (i * ntx + j, 0, 0)),
+                     pl.BlockSpec((1, TY, TX),
+                                  lambda i, j, ch: (i * ntx + j, 0, 0))]
+        operands += [cosa, sina]
+    out_specs = pl.BlockSpec((TY, TX, Cp), lambda i, j, ch: (i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((nty * TY, ntx * TX, Cp), jnp.float32)
+    if with_checksum:
+        out_specs = [out_specs,
+                     pl.BlockSpec((8, 128), lambda i, j, ch: (i, j))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((nty * 8, ntx * 128),
+                                          jnp.float32)]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_BYTES)
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nty, ntx),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((W8, Cp), jnp.float32),
+                            pltpu.SemaphoreType.DMA((NC,))]),
+        interpret=interpret,
+        **kwargs,
+    )(ch_src.reshape(-1), *operands)
+    if with_checksum:
+        return res[0], res[1][::8, ::128]
+    return res
 
 
 def _validate_rotate(rotate, ranges, Cp):
@@ -440,6 +572,20 @@ def _fits_vmem(Wa, W, Cp, a_dtype) -> bool:
     work = 2 * (a_bytes + W * Cp * 4 + TILE * Cp * 4)
     if split:
         work += Wa * Cp * 2
+    return work <= _VMEM_BYTES // 2
+
+
+def gather_fits_vmem(W8, Ks, Cp, precision="split_bf16") -> bool:
+    """VMEM check for the in-kernel-gather variant: double-buffered
+    loc/w/out blocks plus the single-instance slab scratch and the
+    in-kernel temporaries."""
+    k = {"split_bf16": 3, "split6_bf16": 6}.get(precision)
+    kW = (k or 1) * W8
+    work = 2 * (sum(Ks) * TILE * 8 + TILE * Cp * 4)
+    work += W8 * Cp * 4
+    work += len(Ks) * (W8 * TILE * 4 + (kW * TILE * 2 if k else 0))
+    if k:
+        work += kW * Cp * 2
     return work <= _VMEM_BYTES // 2
 
 

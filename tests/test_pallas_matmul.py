@@ -184,6 +184,56 @@ def test_ell_direct_matches_prestacked(rng, precision):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.parametrize("precision", ["highest", "split_bf16"])
+def test_gather_kernel_matches_take(rng, precision):
+    """fused_apply_packed_gather (slab gathered IN-KERNEL by chunked-run
+    DMAs) must match the jnp.take + ELL-kernel composition on the same
+    operator — the layouts (_chunk_slab) differ, the math must not."""
+    from mpassit_tpu.ops.matmul_apply import (
+        CH,
+        TILE,
+        _pack_compact,
+        _pack_union,
+    )
+    from mpassit_tpu.ops.pallas_matmul import (
+        fused_apply_packed,
+        fused_apply_packed_gather,
+    )
+
+    ny, nx, n_src, K, Cp = 40, 70, 500, 3, 128
+    T = ny * nx
+    idx = np.sort(rng.integers(0, n_src, size=(T, K)).astype(np.int64),
+                  axis=1)
+    w = rng.random((T, K))
+    w[rng.random((T, K)) < 0.15] = 0.0
+    (slab_idx, loc, loc_w, W, nty, ntx, n_tiles, ntd, nty_p, ch_src,
+     loc8, W8) = _pack_compact(_pack_union(idx, w, ny, nx, n_src))
+    src = rng.standard_normal((n_src, Cp)).astype(np.float32)
+    src_pad = jnp.asarray(np.pad(src, ((0, CH), (0, 0))))
+    loc3 = jnp.asarray(loc.reshape(n_tiles, TILE, K)
+                       .transpose(0, 2, 1).astype(np.int32))
+    loc83 = jnp.asarray(loc8.reshape(n_tiles, TILE, K)
+                        .transpose(0, 2, 1).astype(np.int32))
+    w3 = jnp.asarray(loc_w.reshape(n_tiles, TILE, K)
+                     .transpose(0, 2, 1).astype(np.float32))
+    slab = jnp.take(jnp.asarray(src), jnp.asarray(slab_idx), axis=0)
+    ref = fused_apply_packed(None, slab, ranges=((0, Cp),), nty=nty,
+                             ntx=ntx, precision=precision, interpret=True,
+                             locs=(loc3,), ws=(w3,))
+    got = fused_apply_packed_gather(
+        src_pad, jnp.asarray(ch_src.astype(np.int32)), (loc83,), (w3,),
+        W8=W8, ranges=((0, Cp),), nty=nty, ntx=ntx, precision=precision,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # checksum variant composes
+    out, ts = fused_apply_packed_gather(
+        src_pad, jnp.asarray(ch_src.astype(np.int32)), (loc83,), (w3,),
+        W8=W8, ranges=((0, Cp),), nty=nty, ntx=ntx, precision=precision,
+        interpret=True, with_checksum=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(got))
+
+
 def test_fused_available_guard():
     assert fused_available(16, "split_bf16")
     assert fused_available(512, "highest")
