@@ -602,15 +602,20 @@ class SlabMatmulRegridder:
         return self._gather_cache
 
     def _use_gather(self, Cp) -> bool:
-        """Route to the in-kernel-gather kernel? Real-TPU single-device
-        only (interpret-mode DMA emulation is too slow for tests; the
-        sharded path keeps the take+kernel composition).
-        MPASSIT_GATHER_KERNEL=0 disables."""
+        """Route to the in-kernel-gather kernel? OPT-IN
+        (MPASSIT_GATHER_KERNEL=1): honest A/B on v5e measured the chunk
+        DMA descriptors costing ~4 us/tile even double-buffered
+        (20.0 ms/pass vs 16.5 for take+kernel at the 2.6M-cell load) —
+        the hardware scatter-gather engine behind XLA's take beats ~35
+        per-tile descriptor issues. Kept as a variant: it removes the HBM
+        slab array entirely (peak-memory lever) and its economics flip if
+        W grows or descriptor issue gets cheaper. Real-TPU single-device
+        only."""
         from .pallas_matmul import gather_fits_vmem
 
         return (self._ell_kernel and self.mesh is None
                 and self.backend != "xla"
-                and os.environ.get("MPASSIT_GATHER_KERNEL", "1") != "0"
+                and os.environ.get("MPASSIT_GATHER_KERNEL", "0") == "1"
                 and jax.default_backend() == "tpu"
                 and gather_fits_vmem(self.W8, (self._K,), Cp,
                                      self.precision))
@@ -1050,11 +1055,12 @@ class PackedSlabRegridder:
         return self._gather_cache
 
     def _use_gather(self, Cp) -> bool:
+        # opt-in variant — see SlabMatmulRegridder._use_gather
         from .pallas_matmul import gather_fits_vmem
 
         return (self._ell_kernel and self.mesh is None
                 and self.backend != "xla"
-                and os.environ.get("MPASSIT_GATHER_KERNEL", "1") != "0"
+                and os.environ.get("MPASSIT_GATHER_KERNEL", "0") == "1"
                 and jax.default_backend() == "tpu"
                 and gather_fits_vmem(self.W8, tuple(self._Ks), Cp,
                                      self.precision))

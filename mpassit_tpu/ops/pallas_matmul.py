@@ -324,17 +324,20 @@ CH = 8              # rows per gather DMA chunk (matches matmul_apply.CH)
 
 
 def _kernel_packed_gather(ch_ref, *refs, ranges, split, checksum, rotate,
-                          ell_Ks, W8, NC, ntx):
+                          ell_Ks, W8, NC, ntx, n_tiles):
     """ELL-direct packed kernel with the slab gather INSIDE the kernel:
     per tile, NC fixed-size (CH, Cp) DMA copies bring the tile's
     chunked-run source rows (matmul_apply._chunk_slab) from HBM straight
     into a VMEM slab scratch — no XLA gather pass, no HBM slab array at
-    all (the separate gather wrote+read ~630 MB/pass and measured 6.6 ms
-    standalone at the 2.6M-cell load). The per-method A builds overlap
-    the copies; the chunk descriptors ride scalar prefetch.
+    all. The scratch is DOUBLE-BUFFERED across tiles: at tile t the
+    kernel first issues tile t+1's copies into the other slot, so the
+    descriptor issues and the transfers hide under tile t's compute and
+    out-block DMA (issued serially they measured ~6 us/tile — half the
+    pass). The grid runs with "arbitrary" semantics so the t -> t+1
+    hand-off order is guaranteed.
 
     refs = (*loc_refs, *w_refs, src_ref(HBM)[, cosa, sina], out_ref
-    [, cs_ref], slab_scratch, sems)."""
+    [, cs_ref], slab_scratch(2, W8, Cp), sems(2, NC))."""
     nm = len(ranges)
     loc_refs, w_refs = refs[:nm], refs[nm:2 * nm]
     rest = list(refs[2 * nm:])
@@ -346,22 +349,33 @@ def _kernel_packed_gather(ch_ref, *refs, ranges, split, checksum, rotate,
     cs_ref = rest.pop(0) if checksum else None
     slab_scr, sems = rest
     t = pl.program_id(0) * ntx + pl.program_id(1)
-    # ch entries are chunk starts / CH: the explicit * CH lets Mosaic
-    # prove the (8, 128)-tiled HBM row slice is tile-aligned
-    for c in range(NC):
-        pltpu.make_async_copy(
-            src_ref.at[pl.ds(ch_ref[t * NC + c] * CH, CH)],
-            slab_scr.at[pl.ds(c * CH, CH)],
-            sems.at[c]).start()
+    p = jax.lax.rem(t, jnp.asarray(2, t.dtype))
+
+    def _copies(tt, slot):
+        # ch entries are chunk starts / CH: the explicit * CH lets Mosaic
+        # prove the (8, 128)-tiled HBM row slice is tile-aligned
+        for c in range(NC):
+            yield pltpu.make_async_copy(
+                src_ref.at[pl.ds(ch_ref[tt * NC + c] * CH, CH)],
+                slab_scr.at[slot, pl.ds(c * CH, CH)],
+                sems.at[slot, c])
+
+    @pl.when(t == 0)
+    def _first():
+        for cp in _copies(t, p):
+            cp.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch_next():
+        for cp in _copies(t + 1, 1 - p):
+            cp.start()
+
     # A builds (VPU) overlap the in-flight copies
     As = [_build_A_vmem(loc_refs[m], w_refs[m], W8, split)
           for m in range(nm)]
-    for c in range(NC):
-        pltpu.make_async_copy(
-            src_ref.at[pl.ds(ch_ref[t * NC + c] * CH, CH)],
-            slab_scr.at[pl.ds(c * CH, CH)],
-            sems.at[c]).wait()
-    _packed_core(As, slab_scr[...], out_ref, cs_ref, cosa_ref, sina_ref,
+    for cp in _copies(t, p):
+        cp.wait()
+    _packed_core(As, slab_scr[p], out_ref, cs_ref, cosa_ref, sina_ref,
                  ranges=ranges, split=split, checksum=checksum,
                  rotate=rotate)
 
@@ -401,7 +415,7 @@ def fused_apply_packed_gather(src, ch_src, locs, ws, *, W8, ranges, nty,
     ell_Ks = tuple(l.shape[1] for l in locs)
     kernel = partial(_kernel_packed_gather, ranges=ranges, split=split,
                      checksum=with_checksum, rotate=rotate, ell_Ks=ell_Ks,
-                     W8=W8, NC=NC, ntx=ntx)
+                     W8=W8, NC=NC, ntx=ntx, n_tiles=n_tiles)
     in_specs = [
         pl.BlockSpec((1, K, TILE), lambda i, j, ch: (i * ntx + j, 0, 0))
         for K in ell_Ks
@@ -423,8 +437,10 @@ def fused_apply_packed_gather(src, ch_src, locs, ws, *, W8, ranges, nty,
                                           jnp.float32)]
     kwargs = {}
     if not interpret:
+        # arbitrary semantics: the cross-tile double-buffer hand-off
+        # requires the guaranteed sequential grid order
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_BYTES)
     res = pl.pallas_call(
         kernel,
@@ -434,8 +450,8 @@ def fused_apply_packed_gather(src, ch_src, locs, ws, *, W8, ranges, nty,
             grid=(nty, ntx),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((W8, Cp), jnp.float32),
-                            pltpu.SemaphoreType.DMA((NC,))]),
+            scratch_shapes=[pltpu.VMEM((2, W8, Cp), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2, NC))]),
         interpret=interpret,
         **kwargs,
     )(ch_src.reshape(-1), *operands)
