@@ -4,7 +4,14 @@ Times variants of the ELL-direct kernel on the 2.6M-cell problem:
   v0: library baseline (concat-stacked operands, full-width blocks)
   v1: three separate dots (no concat relayouts)
   v2: column-chunked grid (nty, ntx, nc) with A built once into scratch
-"""
+
+CAVEAT (round-4 lesson, recorded in DESIGN.md): these loops hold every
+operand fixed, so XLA HOISTS the loop-invariant pallas_call out of the
+fori_loop — the numbers measure one kernel run amortized over `passes`
+plus the checksum re-reads, NOT per-pass cost. For honest per-pass
+numbers tie the operands to the accumulator with
+``jax.lax.optimization_barrier((operand, acc))`` as bench.py's full-mesh
+section now does. Kept as-is for the record of the pitfall."""
 
 import os
 import sys
