@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import queue
 from datetime import datetime
 
 import numpy as np
@@ -289,7 +290,6 @@ class StreamingWriter:
 
     # -- schema -----------------------------------------------------------
     def open(self):
-        import queue
         import threading
 
         cfg, grid, data = self.cfg, self.grid, self.data
@@ -378,12 +378,23 @@ class StreamingWriter:
         return self
 
     # -- streaming --------------------------------------------------------
+    def _put_checked(self, item):
+        """Bounded put that re-checks writer-thread health: if the thread
+        died (e.g. disk full) while the queue was full, a plain blocking
+        put would hang forever instead of raising (ADVICE r4 #2)."""
+        while True:
+            if self._exc is not None:
+                raise self._exc
+            try:
+                self._q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
     def put(self, var, lev0, block):
         """Enqueue levels [lev0, lev0+k) of ``var`` (block (ny, nx[, k]));
         blocks for one var must arrive in ascending level order."""
-        if self._exc is not None:
-            raise self._exc
-        self._q.put((var, lev0, block))
+        self._put_checked((var, lev0, block))
 
     def _drain(self):
         import time as _time
@@ -399,6 +410,13 @@ class StreamingWriter:
                 self.stats["blocks"] += 1
         except BaseException as e:          # surfaced by put()/finish()
             self._exc = e
+            # unblock any producer waiting on the bounded queue; items are
+            # dropped — the run is failing and put() raises on next check
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    return
 
     def _track(self, var, arr):
         if log.isEnabledFor(logging.DEBUG) and arr.size:
@@ -455,7 +473,7 @@ class StreamingWriter:
     def finish(self):
         """Drain the queue, write the deferred P_TOP, flush the min/max
         debug log, close the file."""
-        self._q.put(None)
+        self._put_checked(None)
         self._thread.join()
         if self._exc is not None:
             raise self._exc

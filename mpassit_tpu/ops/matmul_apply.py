@@ -538,10 +538,11 @@ class SlabMatmulRegridder:
         self._A = None
         self._locw_dev = None
         self.duplication = n_tiles * W / max(ell.n_src, 1)
-        # jitted shard_map wrapper for the fused sharded path, built lazily
-        # ONCE and reused — rebuilding it per call would re-trace/re-compile
-        # on the hot per-bundle path (ADVICE r2)
-        self._fused_sharded = None
+        # jitted shard_map wrappers for the fused sharded path, built lazily
+        # ONCE per use_ell mode and reused — rebuilding per call would
+        # re-trace/re-compile on the hot per-bundle path (ADVICE r2);
+        # keyed by use_ell because it depends on the per-call Cp (ADVICE r4)
+        self._fused_sharded = {}
 
     @property
     def A(self):
@@ -667,7 +668,11 @@ class SlabMatmulRegridder:
                     interpret=interpret, locs=(loc,), ws=(w,))
             return fused_apply(self.A, slab, nty=self.nty, ntx=self.ntx,
                                precision=self.precision, interpret=interpret)
-        if self._fused_sharded is None:
+        # the wrapper cache is keyed by use_ell: it depends on the per-call
+        # Cp (a later, wider bundle can fail ell_fits_vmem after a narrow
+        # first call built the ELL wrapper — routing it to the ELL kernel
+        # at the wider Cp would blow vmem_limit_bytes; ADVICE r4 #1)
+        if use_ell not in self._fused_sharded:
             from jax.sharding import PartitionSpec as P
 
             ax = self.mesh.axis_names[0]
@@ -683,18 +688,17 @@ class SlabMatmulRegridder:
                 fn = partial(fused_apply, nty=nty_l, ntx=self.ntx,
                              precision=self.precision, interpret=interpret)
             n_in = 3 if use_ell else 2
-            self._fused_sharded = jax.jit(jax.shard_map(
+            self._fused_sharded[use_ell] = jax.jit(jax.shard_map(
                 fn,
                 mesh=self.mesh,
                 in_specs=(P(ax, None, None),) * n_in,
                 out_specs=P(ax, None, None),
                 # pallas_call's out_shape carries no varying-mesh-axes info
                 check_vma=False))
-            self._fused_sharded_ell = use_ell
-        if self._fused_sharded_ell:
+        if use_ell:
             loc, w = self._ell_dev()
-            return self._fused_sharded(loc, w, slab)
-        return self._fused_sharded(self.A, slab)
+            return self._fused_sharded[use_ell](loc, w, slab)
+        return self._fused_sharded[use_ell](self.A, slab)
 
     def __call__(self, src_dev):
         """src (n_src, C) on device. Returns (nyp, nxp, C) device array."""

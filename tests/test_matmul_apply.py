@@ -107,12 +107,45 @@ def test_fused_sharded_jit_is_reused(problem):
     mm = SlabMatmulRegridder(ell, mesh=dmesh, backend="pallas")
     src = jnp.asarray(np.random.default_rng(9).standard_normal(
         (mesh.ncells, 2)).astype(np.float32))
-    assert mm._fused_sharded is None
+    assert not mm._fused_sharded
     mm(src)
-    fn = mm._fused_sharded
-    assert fn is not None
+    assert len(mm._fused_sharded) == 1
+    (fn,) = mm._fused_sharded.values()
     mm(src)
-    assert mm._fused_sharded is fn
+    assert list(mm._fused_sharded.values()) == [fn]
+
+
+def test_fused_sharded_reroutes_when_ell_stops_fitting(problem, monkeypatch):
+    """ADVICE r4 #1: use_ell depends on the per-call Cp. A narrow first
+    bundle must not pin a later, wider bundle (ell_fits_vmem False) onto
+    the ELL-direct kernel — the cache is keyed per use_ell mode and the
+    wide call routes to the prestacked-A wrapper with identical results."""
+    from mpassit_tpu.parallel.sharding import make_grid_mesh
+
+    mesh, grid, ell = problem
+    dmesh = make_grid_mesh(jax.devices()[:8])
+    mm = SlabMatmulRegridder(ell, mesh=dmesh, backend="pallas")
+    # force the fits-VMEM decision to flip on column width alone
+    import mpassit_tpu.ops.pallas_matmul as pm
+
+    real_fits = pm.ell_fits_vmem
+    monkeypatch.setattr(pm, "ell_fits_vmem",
+                        lambda W, Ks, Cp, precision="split_bf16":
+                        Cp <= 128 and real_fits(W, Ks, Cp, precision))
+    rng = np.random.default_rng(11)
+    narrow = jnp.asarray(rng.standard_normal(
+        (mesh.ncells, 2)).astype(np.float32))
+    wide_np = rng.standard_normal((mesh.ncells, 130)).astype(np.float32)
+    wide = jnp.asarray(wide_np)
+    out_n = np.asarray(mm(narrow))          # builds the ELL wrapper
+    assert list(mm._fused_sharded) == [True]
+    out_w = np.asarray(mm(wide))            # must build the non-ELL one
+    assert sorted(mm._fused_sharded) == [False, True]
+    mm_ref = SlabMatmulRegridder(ell, mesh=dmesh, backend="pallas")
+    np.testing.assert_allclose(out_w, np.asarray(mm_ref(wide)),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(out_n, np.asarray(mm_ref(narrow)),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_precision_error_bounds(problem):
