@@ -491,6 +491,25 @@ class StreamingWriter:
         self.f = None
 
 
+class NullStreamWriter:
+    """Streaming-writer stand-in for NON-PRIMARY processes of a multi-host
+    run (VERDICT r4 item 3): every process executes the identical SPMD
+    streamed program — participating in each strip's fetch collective —
+    but only process 0 holds the real StreamingWriter and the file (the
+    reference's rank-0 serial write, write_data.F90:1005-1475); the others
+    drop their strips here. Peak non-root host memory is one fetched strip
+    plus the buffered wind mass fields, same budget as process 0."""
+
+    def __init__(self):
+        self.stats = {"t_write_s": 0.0, "t_block_s": 0.0, "blocks": 0}
+
+    def put(self, var, lev0, block):
+        pass
+
+    def finish(self):
+        pass
+
+
 def write_output(path: str, cfg, grid, data, res: RegridResult) -> None:
     """write_to_file equivalent (write_data.F90:20-1498).
 

@@ -184,3 +184,50 @@ def test_two_process_root_only_fetch(tmp_path):
             assert a.shape == b.shape, name
             if a.dtype.kind in "fc":
                 np.testing.assert_array_equal(b, a, err_msg=name)
+
+
+def test_two_process_streamed_output(tmp_path):
+    """VERDICT r4 item 3: stream_output under process_count > 1. Process 0
+    drives the real StreamingWriter; process 1 runs the identical SPMD
+    program with the NullStreamWriter (participates in every strip fetch,
+    drops the strip). The streamed multi-process file must be bit-identical
+    to the in-memory multi-process file and match the single-process run —
+    and NO process may materialize the full output (asserted through the
+    dump hook: every process's RegridResult holdings are empty)."""
+    mesh, cfg, hist_fields, diag_fields = make_case(
+        tmp_path, ncells=900, nx=17, ny=13)
+    ref_art = run_pipeline(cfg, dtype=jnp.float32)
+    ref_file = cfg.output_file
+
+    nml_m = tmp_path / "namelist.mem"
+    out_m = str(tmp_path / "out_mem.nc")
+    _write_namelist(nml_m, cfg, out_m, "replicate")
+    _launch_two(nml_m, tmp_path)
+
+    nml_s = tmp_path / "namelist.stream"
+    out_s = str(tmp_path / "out_stream.nc")
+    _write_namelist(nml_s, cfg, out_s, "replicate",
+                    extra=" stream_output = .true.\n")
+    dump = str(tmp_path / "res_stream_{pid}.npz")
+    outs = _launch_two(nml_s, tmp_path,
+                       extra_env={"MPASSIT_DUMP_RESULT": dump})
+    assert "drops them (no full-output buffer)" in outs[1]
+
+    # no process held regridded fields in memory (streaming holds strips
+    # only; the dump hook records whatever RegridResult retained)
+    for pid in range(2):
+        with np.load(dump.format(pid=pid)) as z:
+            assert list(z.files) == [], (pid, list(z.files))
+
+    with open_dataset(out_m) as fa, open_dataset(out_s) as fb:
+        assert fb.var_names() == fa.var_names()
+        for name in fa.var_names():
+            np.testing.assert_array_equal(
+                fb.read_var(name), fa.read_var(name), err_msg=name)
+    with open_dataset(ref_file) as fr, open_dataset(out_s) as fb:
+        assert set(fb.var_names()) == set(fr.var_names())
+        for name in fr.var_names():
+            a, b = fr.read_var(name), fb.read_var(name)
+            if a.dtype.kind in "fc":
+                np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-4,
+                                           err_msg=name)
