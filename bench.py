@@ -880,17 +880,66 @@ def main() -> int:
         t_fwall, _ = timed_n(make_write_wall(fpasses, fmm.nty, fmm.ntx,
                                            FCOLS),
                            (jnp.ones((1, 1, FCOLS), jnp.float32),))
-        # per-pass HBM byte accounting (VERDICT r3 item 1): with the
-        # in-kernel gather the only streams are the output write, the
-        # chunk-padded source reads, and the tiny ELL operands
+        backend = ("fused+gather-kernel" if use_gather
+                   else "fused" if use_fused else "xla")
+        # per-pass HBM byte accounting MATCHED TO THE MEASURED BACKEND
+        # (VERDICT r4 weak #2 — r4 applied the gather-kernel formula to a
+        # take-path run). "fused" = XLA take gathers the slab to HBM, the
+        # ELL kernel re-reads it: src gather reads + slab write + slab
+        # read + tiny ELL operands + output write. "fused+gather-kernel"
+        # = no HBM slab at all, chunk-padded in-kernel src reads instead.
         nyp_f, nxp_f = fmm.nty * 32, fmm.ntx * 32
         b_out = nyp_f * nxp_f * FCOLS * 4
-        b_src = fmm.n_tiles * fmm.W8 * FCOLS * 4
-        b_ell = fmm.n_tiles * fmm._K * 1024 * 8
+        b_slab = fmm.n_tiles * fmm.W * FCOLS * 4
+        b_ell = fmm.n_tiles * fmm._K * 1024 * (
+            fmm._loc_host.dtype.itemsize + 4)
+        if use_gather:
+            bytes_acct = {
+                "out_write": round(b_out / 1e9, 2),
+                "src_read_chunked": round(
+                    fmm.n_tiles * fmm.W8 * FCOLS * 4 / 1e9, 2),
+                "ell_operands": round(b_ell / 1e9, 3),
+            }
+        elif use_fused:
+            bytes_acct = {
+                "out_write": round(b_out / 1e9, 2),
+                "src_gather_read": round(b_slab / 1e9, 2),
+                "slab_write": round(b_slab / 1e9, 2),
+                "slab_read": round(b_slab / 1e9, 2),
+                "ell_operands": round(b_ell / 1e9, 3),
+            }
+        else:
+            k_split = {"split_bf16": 3, "split6_bf16": 6}.get("split_bf16")
+            b_A = fmm.n_tiles * k_split * fmm.W * 1024 * 2
+            bytes_acct = {
+                "out_write": round(b_out / 1e9, 2),
+                "src_gather_read": round(b_slab / 1e9, 2),
+                "slab_write": round(b_slab / 1e9, 2),
+                "slab_read": round(b_slab / 1e9, 2),
+                "A_read": round(b_A / 1e9, 2),
+            }
+        b_total = round(sum(v for v in bytes_acct.values()), 2)
+        # cold vs warm compile at full-mesh scale (VERDICT r4 item 5): one
+        # run can only observe its own cache state, so both numbers are
+        # kept in a history file keyed by problem shape — a cold-cache run
+        # records t_compile_cold_s, a warm one t_compile_warm_s
+        hist_path = os.path.join(cache_dir, "compile_history.json")
+        hkey = f"full_mesh_{full_ncells}_{FCOLS}_{backend}"
+        try:
+            with open(hist_path) as hf:
+                hist = json.load(hf)
+        except (OSError, ValueError):
+            hist = {}
+        ent = hist.setdefault(hkey, {})
+        ent["cold" if compile_cache_cold else "warm"] = round(ft_compile, 2)
+        try:
+            with open(hist_path, "w") as hf:
+                json.dump(hist, hf)
+        except OSError:
+            pass
         result["full_mesh"] = {
             "ncells": full_ncells,
-            "backend": ("fused+gather-kernel" if use_gather
-                        else "fused" if use_fused else "xla"),
+            "backend": backend,
             "t_weightgen_s": ft_weights,
             "t_setup_s": round(ft_setup, 1),
             "slab_W": fmm.W,
@@ -900,18 +949,23 @@ def main() -> int:
             "value_materialized": round(T * FCOLS / ft_apply, 1),
             "value_write_wall": round(T * FCOLS / t_fwall, 1),
             "t_write_wall_s": round(t_fwall, 4),
+            "pct_of_write_wall": round(100.0 * t_fwall / ft_apply, 1),
             "measurement_contract": "r4-honest (operands barrier-tied to "
                                     "the loop accumulator: no hoisting; "
                                     "in-kernel checksum: no output "
                                     "re-read)",
             "t_compile_s": round(ft_compile, 2),
-            "bytes_per_pass_gb": {
-                "out_write": round(b_out / 1e9, 2),
-                "src_read_chunked": round(b_src / 1e9, 2),
-                "ell_operands": round(b_ell / 1e9, 3),
-            },
-            "hbm_gbps_effective": round(
-                (b_out + b_src + b_ell) / ft_apply / 1e9, 1),
+            "compile_cache": "cold" if compile_cache_cold else "warm",
+            "t_compile_cold_s": ent.get("cold"),
+            "t_compile_warm_s": ent.get("warm"),
+            "bytes_per_pass_gb": bytes_acct,
+            "bytes_per_pass_total_gb": b_total,
+            "hbm_gbps_effective": round(b_total / ft_apply, 1),
+            # the residual vs the write wall: extra non-output traffic
+            # (reads + slab round-trip) at the same-run wall rate — how
+            # much of the gap the byte model explains (VERDICT r4 item 6)
+            "wall_model_t_s": round(
+                t_fwall * b_total / (b_out / 1e9), 4),
         }
 
     # ---- full-pipeline wall clock incl. NetCDF write (default ON at a
@@ -1001,8 +1055,92 @@ def main() -> int:
                     "verify_max_rel_err)",
         }
 
-    print(json.dumps(result))
+    # ---- production-shape e2e (VERDICT r4 item 1) -------------------------
+    # The full envelope (2.6M-cell mesh -> 1801x1061 x 973 cols, streamed,
+    # subprocess RSS) takes ~30-60 min end to end, so the driver's bench
+    # run embeds the RECORDED artifact produced by
+    # tools/bench_production.py (committed at PRODUCTION_E2E.json, raw log
+    # alongside); BENCH_PRODUCTION=1 re-runs it live instead.
+    prod_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PRODUCTION_E2E.json")
+    if os.environ.get("BENCH_PRODUCTION") == "1":
+        from tools.bench_production import run_production
+
+        result["e2e_production"] = run_production(cache_dir)
+    elif os.path.exists(prod_path):
+        try:
+            with open(prod_path) as pf:
+                result["e2e_production"] = json.load(pf)
+            result["e2e_production"]["source"] = (
+                "recorded artifact PRODUCTION_E2E.json (run by "
+                "tools/bench_production.py on this chip class; "
+                "BENCH_PRODUCTION=1 re-runs live)")
+        except (OSError, ValueError):
+            pass
+
+    emit_results(result)
     return 0
+
+
+def _compact_summary(result):
+    """Headline-first summary that MUST fit the driver's 2000-char stdout
+    tail capture (BENCH_r03/r04 'parsed: null' post-mortem: the single
+    full-detail JSON line outgrew the capture window and was truncated
+    mid-line). Printed LAST; full detail precedes it and lands in
+    BENCH_DETAIL.json."""
+    s = {
+        "metric": "point-values/s, materialized, packed multi-method "
+                  "Mosaic kernel (1801x1061 CONUS, 973 cols)",
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "measurement_contract": result["measurement_contract"],
+        "t_apply_pass_s": result["t_apply_pass_s"],
+        "value_write_wall": result["value_write_wall"],
+        "value_split6": result["value_materialized_split6"],
+        "device": result["device"],
+        "detail": "full sections in BENCH_DETAIL.json (this directory)",
+    }
+    fm = result.get("full_mesh")
+    if fm:
+        s["full_mesh"] = {
+            k: fm.get(k) for k in (
+                "ncells", "backend", "n_cols", "t_apply_pass_s",
+                "value_materialized", "value_write_wall",
+                "pct_of_write_wall", "t_compile_cold_s",
+                "t_compile_warm_s", "bytes_per_pass_total_gb")}
+    e2e = result.get("e2e")
+    if e2e:
+        s["e2e"] = {k: e2e.get(k) for k in (
+            "t_pipeline_warm_s", "t_pipeline_warm_streamed_s",
+            "peak_host_rss_mb_subprocess", "output_mb")}
+    prod = result.get("e2e_production")
+    if prod:
+        s["e2e_production"] = {k: prod.get(k) for k in (
+            "ncells", "grid", "n_cols", "output_gb",
+            "t_pipeline_warm_streamed_s", "t_pipeline_warm_inmem_s",
+            "peak_host_rss_mb_subprocess", "rss_budget_mb", "source")}
+    line = json.dumps(s)
+    # hard cap with graceful degradation: drop optional blocks until the
+    # line fits the capture window with margin
+    for drop in ("e2e", "detail", "full_mesh"):
+        if len(line) <= 1900:
+            break
+        s.pop(drop, None)
+        line = json.dumps(s)
+    return line
+
+
+def emit_results(result):
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_DETAIL.json")
+    try:
+        with open(detail, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result))
+    print(_compact_summary(result))
 
 
 def _rss_window():
@@ -1105,9 +1243,11 @@ def bench_e2e(cache_dir):
     }
     # clean per-writer peak RSS: each warm pipeline in its OWN subprocess
     # (CPU backend — the memory structure is identical, and a second TPU
-    # process would contend for the single tunnel chip); BENCH_E2E_RSS=0
+    # process would contend for the single tunnel chip). DEFAULT ON
+    # (VERDICT r4 weak #3: the in-process peaks are polluted by earlier
+    # bench sections; this is the recorded comparison); BENCH_E2E_RSS=0
     # skips
-    if os.environ.get("BENCH_E2E_RSS", "0") == "1":
+    if os.environ.get("BENCH_E2E_RSS", "1") == "1":
         import subprocess
 
         nml = os.path.join(d, "rss_namelist")

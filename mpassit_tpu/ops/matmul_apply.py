@@ -138,6 +138,32 @@ def _src_to_device(src, Cp, sharding=None):
     return buf
 
 
+def _src_window_to_device(src, lo, gw, sharding=None):
+    """Packed-column window [lo, lo+gw) of a host block list -> (n_src, gw)
+    f32 device buffer (zero-padded past the data columns). The
+    device-memory-bounded production apply uploads one column group at a
+    time instead of the full (n_src, Cp) matrix (10.6 GB at 2.6M cells x
+    1024 packed cols — more than half of a v5e's HBM)."""
+    blocks = src if isinstance(src, (list, tuple)) else [src]
+    n_src = np.asarray(blocks[0]).shape[0]
+    buf = jnp.zeros((n_src, gw), jnp.float32)
+    if sharding is not None:
+        buf = jax.device_put(buf, sharding)
+    off = 0
+    for b in blocks:
+        bw = 1 if np.asarray(b).ndim == 1 else np.asarray(b).shape[1]
+        a, c = max(off, lo), min(off + bw, lo + gw)
+        if a < c:
+            bb = np.asarray(b, dtype=np.float32)
+            bb = bb[:, None] if bb.ndim == 1 else bb[:, a - off:c - off]
+            bd = jnp.asarray(np.ascontiguousarray(bb))
+            if sharding is not None:
+                bd = jax.device_put(bd, sharding)
+            buf = _insert_cols(buf, bd, a - lo)
+        off += bw
+    return buf
+
+
 def _split_hilo(x):
     """f32 -> (hi, lo) bf16 pair with x ~= hi + lo.
 
@@ -1224,15 +1250,133 @@ class PackedSlabRegridder:
             _unblock(out[: self.n_tiles_data], self.nty, self.ntx))
         return full[:, :, :self.C_total]
 
+    def _grouped_width(self) -> int:
+        """Column-group width for the device-memory-bounded apply, or 0
+        when the full-width single-pass apply fits the device budget.
+
+        At the production envelope (2.6M cells x 1024 packed cols x
+        1801x1061 target) the one-pass apply needs src 10.6 GB + slab
+        ~0.7 GB + out 8.1 GB > a v5e's 16 GB HBM. When the estimate
+        exceeds MPASSIT_DEVICE_BUDGET_GB (default 12), the apply runs in
+        column groups: upload the group's source window, gather its slab,
+        one kernel pass, fetch, free — peak device residency is one
+        group. Single-device only (a sharded run divides the tile axis
+        instead)."""
+        if self.mesh is not None or self.Cp <= FETCH:
+            return 0
+        per_col = 4 * (self.n_src + self.n_tiles * self.W
+                       + self.nty_p * TY * self.ntx * TX)
+        budget = float(os.environ.get(
+            "MPASSIT_DEVICE_BUDGET_GB", "12")) * 1e9
+        if self.Cp * per_col <= budget:
+            return 0
+        gw = FETCH
+        # 2x margin for transient copies (take output, unblock on the
+        # XLA path); rotation windows are validated to the CB sub-chunk,
+        # so the first group must keep at least CB columns
+        while gw > LANE and 2 * gw * per_col > budget:
+            gw //= 2
+        if self.rotate:
+            gw = max(gw, max(cv + n for (_, cv, n) in self.rotate))
+            gw = max(gw, CB)
+        return gw
+
+    def _apply_np_grouped(self, src, gw, root_only, strip_sink):
+        """Column-grouped host apply (see _grouped_width): per group, a
+        windowed source upload + slab gather + one packed kernel pass over
+        the group's method sub-ranges; the Q4 rotation windows ride group
+        0 (they are confined to the first CB sub-chunk)."""
+        from ..parallel.multihost import fetch_to_host, is_primary
+        from .pallas_matmul import ell_fits_vmem, fused_apply_packed
+
+        C = self.C_total
+        ny, nx = self.dst_shape
+        materialize = (not root_only or is_primary()) and strip_sink is None
+        deliver = strip_sink is not None and (not root_only or is_primary())
+        out = (np.empty((ny, nx, C), np.float32) if materialize
+               else np.broadcast_to(np.float32(0.0), (ny, nx, C)))
+        fused = self._use_fused()
+        interpret = jax.default_backend() != "tpu"
+        use_ell = fused and self._ell_kernel and ell_fits_vmem(
+            self.W, tuple(self._Ks), gw, self.precision)
+        if use_ell:
+            locs_all, ws_all = self._ell_dev()
+        else:
+            _ = self.As             # build once, outside the group loop
+        for g in range(0, self.Cp, gw):
+            w_g = min(gw, self.Cp - g)
+            sub_ranges, m_idx = [], []
+            for m, (lo, hi) in enumerate(self.ranges):
+                a, b = max(lo, g), min(hi, g + w_g)
+                if a < b:
+                    sub_ranges.append((a - g, b - g))
+                    m_idx.append(m)
+            if not m_idx:
+                break                       # LANE-pad tail only
+            rot = self.rotate if g == 0 else ()
+            src_g = _src_window_to_device(src, g, w_g, self._src_sharding)
+            slab_g = jnp.take(src_g, self.slab_idx, axis=0)
+            if fused:
+                kw = ({"rotate": rot, "cosa": self._cosa_t,
+                       "sina": self._sina_t} if rot else {})
+                if use_ell:
+                    o = fused_apply_packed(
+                        None, slab_g, ranges=tuple(sub_ranges),
+                        nty=self.nty, ntx=self.ntx,
+                        precision=self.precision, interpret=interpret,
+                        locs=tuple(locs_all[m] for m in m_idx),
+                        ws=tuple(ws_all[m] for m in m_idx), **kw)
+                else:
+                    o = fused_apply_packed(
+                        tuple(self.As[m] for m in m_idx), slab_g,
+                        ranges=tuple(sub_ranges), nty=self.nty,
+                        ntx=self.ntx, precision=self.precision,
+                        interpret=interpret, **kw)
+            else:
+                outs = []
+                for m, (c0, c1) in zip(m_idx, sub_ranges):
+                    for lo in range(c0, c1, CB):
+                        cw = min(CB, c1 - lo)
+                        outs.append(_tile_matmul(
+                            self.As[m], slab_g[:, :, lo:lo + cw],
+                            precision=self.precision))
+                cover = max(c1 for _, c1 in sub_ranges)
+                if w_g > cover:
+                    outs.append(jnp.zeros(
+                        (slab_g.shape[0], TILE, w_g - cover), jnp.float32))
+                o = (jnp.concatenate(outs, axis=2) if len(outs) > 1
+                     else outs[0])
+                o = _unblock(o[: self.n_tiles_data], self.nty, self.ntx)
+                if rot:
+                    o = self._rotate_post(o)
+            for lo in range(g, min(g + w_g, C), CB):
+                cb_eff = min(CB, C - lo, g + w_g - lo)
+                fetched = fetch_to_host(o[:ny, :nx, lo - g:lo - g + cb_eff],
+                                        root_only=root_only)
+                if materialize:
+                    out[:, :, lo:lo + cb_eff] = fetched
+                elif deliver:
+                    strip_sink(lo, fetched)
+            del o, slab_g, src_g
+        if strip_sink is not None:
+            return None
+        return out
+
     def apply_np(self, src, root_only: bool = False, strip_sink=None):
         """Host apply, fetched in CB strips (see SlabMatmulRegridder).
         ``src`` may be a list of column blocks (device-side assembly);
         with ``strip_sink`` each strip streams to the sink instead of
-        materializing the (ny, nx, C_total) host array."""
+        materializing the (ny, nx, C_total) host array. When the one-pass
+        device working set exceeds the device budget, the apply runs in
+        column groups (_apply_np_grouped) — the production-envelope
+        configuration."""
         from ..parallel.multihost import fetch_to_host, is_primary
 
         C = self.C_total
         ny, nx = self.dst_shape
+        gw = 0 if self._use_gather(self.Cp) else self._grouped_width()
+        if gw:
+            return self._apply_np_grouped(src, gw, root_only, strip_sink)
         materialize = (not root_only or is_primary()) and strip_sink is None
         deliver = strip_sink is not None and (not root_only or is_primary())
         out = (np.empty((ny, nx, C), np.float32) if materialize

@@ -362,3 +362,45 @@ def test_rotate_window_validation(packed_problem):
     with pytest.raises(ValueError, match="rotate window"):
         PackedSlabRegridder(list(zip((ell_b, ell_n, ell_c), cols)),
                             rotate_spec=(((0, 8, 4),), cosa, sina))
+
+
+# --- device-memory-bounded grouped apply (production envelope) -------------
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("rotate", [False, True])
+def test_packed_grouped_apply_matches_full(packed_problem, monkeypatch,
+                                           backend, rotate):
+    """The production-envelope path: when the one-pass device working set
+    exceeds MPASSIT_DEVICE_BUDGET_GB, apply_np runs in column groups with
+    windowed source uploads (at the real 2.6M-cell x 1024-col x 1801x1061
+    load the one-pass form needs ~19.5 GB > 16 GB HBM). Grouped must equal
+    full-width bit-for-bit on both engine paths, rotation included."""
+    from mpassit_tpu.ops.matmul_apply import FETCH, PackedSlabRegridder
+
+    (ell_b, ell_n, ell_c), _, _ = packed_problem
+    cols = [500, 80, 60]                     # Cp = 640 > FETCH
+    rng = np.random.default_rng(21)
+    src = rng.standard_normal(
+        (ell_b.n_src, sum(cols))).astype(np.float32)
+    spec = list(zip((ell_b, ell_n, ell_c), cols))
+    kw = {}
+    if rotate:
+        cosa, sina = _rotation_fixture(ell_b)
+        kw["rotate_spec"] = (((0, 2, 2),), cosa, sina)
+    pk = PackedSlabRegridder(spec, backend=backend, **kw)
+    assert pk.Cp > FETCH
+    full = pk.apply_np(src)
+    assert pk._grouped_width() == 0          # default budget: one pass
+    monkeypatch.setenv("MPASSIT_DEVICE_BUDGET_GB", "0.001")
+    gw = pk._grouped_width()
+    assert gw and gw < pk.Cp
+    grouped = pk.apply_np(src)
+    np.testing.assert_array_equal(grouped, full)
+    # block-list sources and strip streaming take the same grouped path
+    blocks = [src[:, :17], src[:, 17:300], src[:, 300:]]
+    strips = {}
+    pk.apply_np(blocks, strip_sink=lambda lo, s: strips.__setitem__(
+        lo, np.array(s)))
+    got = np.concatenate([strips[k] for k in sorted(strips)], axis=2)
+    np.testing.assert_array_equal(got, full)
