@@ -108,12 +108,18 @@ _XTIME_STRLEN = 64
 def write_mpas_data_file(mesh: MPASMesh, path: str, fields: dict,
                          attrs: dict | None = None,
                          xtime: str = "2024-03-25_09:00:00",
-                         field_attrs: dict | None = None) -> None:
+                         field_attrs: dict | None = None,
+                         dtype: str = "f8") -> None:
     """Write an MPAS diag/history-style data file.
 
     fields: name -> array of shape (ncells,), (ncells, nz), (ncells, nzp1),
     (ncells, nsoil) or (nvertices, nz); dimension names inferred from shape.
     attrs: global attributes (config_start_time, config_dt, ...).
+    ``fields`` may also map a name to a zero-argument callable returning
+    the array — evaluated one at a time so a production-scale file
+    (~10 GB) never holds every field in memory at once.
+    dtype: on-disk float type ("f8" default; "f4" halves single-precision
+    MPAS runs' disk/read footprint, matching the f32 ingest default).
     """
     from ..io.nc4 import NetCDF4File
 
@@ -133,13 +139,16 @@ def write_mpas_data_file(mesh: MPASMesh, path: str, fields: dict,
             lev_dim[mesh.nsoil] = "nSoilLevels"
 
         for name, arr in fields.items():
-            arr = np.asarray(arr, dtype=np.float64)
+            if callable(arr):
+                arr = arr()
+            arr = np.asarray(arr, dtype=np.float64 if dtype == "f8"
+                             else np.float32)
             loc = "nCells" if arr.shape[0] == mesh.ncells else "nVertices"
             if arr.ndim == 1:
                 dims = ("Time", loc)
             else:
                 dims = ("Time", loc, lev_dim[arr.shape[1]])
-            f.create_var(name, dims, "f8", arr[None])
+            f.create_var(name, dims, dtype, arr[None])
             fa = field_attrs.get(name, {})
             f.set_attr("units", fa.get("units", "si"), var=name)
             f.set_attr("long_name", fa.get("long_name", name + " field"),
