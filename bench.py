@@ -961,11 +961,19 @@ def main() -> int:
             "bytes_per_pass_gb": bytes_acct,
             "bytes_per_pass_total_gb": b_total,
             "hbm_gbps_effective": round(b_total / ft_apply, 1),
-            # the residual vs the write wall: extra non-output traffic
-            # (reads + slab round-trip) at the same-run wall rate — how
-            # much of the gap the byte model explains (VERDICT r4 item 6)
+            # gap decomposition vs the write wall (VERDICT r4 item 6):
+            # wall_model_t_s = total per-pass bytes moved at the same-run
+            # pure-write rate. The part of t_apply above the model is
+            # mixed read+write contention — physically required traffic
+            # (the round-3 copy-kernel probe measured interleaved
+            # block-strided reads+writes collapsing to 249 GB/s TOTAL vs
+            # ~370-550 write-only, i.e. mixed streams run BELOW the
+            # write-only rate; a pass whose non-output traffic is source
+            # reads + the slab round-trip cannot reach the wall's rate)
             "wall_model_t_s": round(
                 t_fwall * b_total / (b_out / 1e9), 4),
+            "gap_explained_by_bytes_pct": round(
+                100.0 * (t_fwall * b_total / (b_out / 1e9)) / ft_apply, 1),
         }
 
     # ---- full-pipeline wall clock incl. NetCDF write (default ON at a
@@ -1118,8 +1126,9 @@ def _compact_summary(result):
     if prod:
         s["e2e_production"] = {k: prod.get(k) for k in (
             "ncells", "grid", "n_cols", "output_gb",
-            "t_pipeline_warm_streamed_s", "t_pipeline_warm_inmem_s",
-            "peak_host_rss_mb_subprocess", "rss_budget_mb", "source")}
+            "t_pipeline_streamed_s", "t_pipeline_inmem_s",
+            "peak_host_rss_mb_subprocess", "rss_budget_mb",
+            "streamed_equals_inmemory_file", "source")}
     line = json.dumps(s)
     # hard cap with graceful degradation: drop optional blocks until the
     # line fits the capture window with margin

@@ -425,50 +425,49 @@ class StreamingWriter:
                                  max(hi, float(np.max(arr))))
 
     def _write_block(self, var, lev0, block):
-        f = self.f
-        category, nlev = self._vmeta[var]
+        """Level-by-level: at production strip widths a whole-block f64
+        transform materializes ~6 GB of temporaries (a 256-level strip of
+        1801x1061 planes, f64 + the f32 moveaxis copy) and the casts
+        contend with the fetch path for CPU; per-level working set is two
+        (ny, nx) planes (~30 MB), bit-identical output (the in-memory
+        writer's f64 transforms are elementwise per level too)."""
         block = np.asarray(block)
         if block.ndim == 2:
             block = block[:, :, None]
-        k = block.shape[2]
-        out = block.astype(np.float64)
+        for kk in range(block.shape[2]):
+            self._write_level(var, lev0 + kk, block[:, :, kk])
+
+    def _write_level(self, var, lev, plane):
+        f = self.f
+        category, nlev = self._vmeta[var]
+        out = plane.astype(np.float64)
         if category == "T":
             out = out - 300.0               # quirk Q7 (guard is a no-op)
         elif category == "P_HYD":
-            if lev0 + k >= self.nz:         # top level present in block
-                top = out[:, :, self.nz - 1 - lev0]
-                self._phyd_top = top.copy()
+            if lev == self.nz - 1:          # top level
+                self._phyd_top = out.copy()
             self._phyd_max = max(self._phyd_max, float(out.max()))
-            pb = np.moveaxis(out.astype(np.float32), 2, 0)[None]
+            pb = out.astype(np.float32)[None, None]
             self._track("PB", pb)
-            f.write_var_slab("PB", pb, (0, lev0, 0, 0))
+            f.write_var_slab("PB", pb, (0, lev, 0, 0))
         elif category == "PHB":
-            # Z_C midpoints across this block's levels, stitching the
-            # boundary level saved from the previous block
-            zc_parts = []
-            zc0 = lev0
-            if self._phb_prev is not None and self._phb_prev[0] == lev0 - 1:
-                zc_parts.append(0.5 * (self._phb_prev[1] + out[:, :, 0]))
-                zc0 = lev0 - 1
-            for kk in range(k - 1):
-                if lev0 + kk + 1 < self.nzp1:
-                    zc_parts.append(0.5 * (out[:, :, kk]
-                                           + out[:, :, kk + 1]))
-            if zc_parts:
-                zc = np.stack(zc_parts, axis=0).astype(np.float32)[None]
+            # Z_C midpoint against the previous interface level (levels
+            # arrive in ascending order per variable)
+            if (self._phb_prev is not None
+                    and self._phb_prev[0] == lev - 1 and lev - 1 < self.nz):
+                zc = (0.5 * (self._phb_prev[1] + out)).astype(
+                    np.float32)[None, None]
                 # only the nz midpoint levels are written (top interface
                 # stays at fill, module docstring)
-                zc = zc[:, : max(0, min(self.nz - zc0, zc.shape[1]))]
-                if zc.shape[1]:
-                    f.write_var_slab("Z_C", zc, (0, zc0, 0, 0))
-            self._phb_prev = (lev0 + k - 1, out[:, :, -1].copy())
+                f.write_var_slab("Z_C", zc, (0, lev - 1, 0, 0))
+            self._phb_prev = (lev, out.copy())
             out = out * 9.81
-        dat = np.moveaxis(out.astype(np.float32), 2, 0)[None]
+        dat = out.astype(np.float32)[None, None]
         self._track(var, dat)
         if nlev is None:
             f.write_var_slab(var, dat[:, 0], (0, 0, 0))
         else:
-            f.write_var_slab(var, dat, (0, lev0, 0, 0))
+            f.write_var_slab(var, dat, (0, lev, 0, 0))
 
     def finish(self):
         """Drain the queue, write the deferred P_TOP, flush the min/max

@@ -166,11 +166,18 @@ class _ApplyBatch:
         self.parts = []   # (n_cols, src_matrix, squeeze, sink, tag, stream)
 
     def add(self, src, sink, tag=None, stream=None):
-        """src (n_src,) or (n_src, k); sink receives the (ny, nx, k) block
-        (or (ny, nx) when src was 1-D). ``tag`` marks parts for special
-        treatment by the packed apply (e.g. "rot_u"/"rot_v" wind columns
-        rotated in-kernel); ``stream`` = [(var, nlev)] routes the part's
-        columns straight to the output file in streaming mode."""
+        """src (n_src,) or (n_src, k) — or a LIST of such per-field blocks
+        (never concatenated on host: at the production load a category
+        stack is ~7 GB, and the block-list engines upload blocks
+        individually); sink receives the (ny, nx, k) block (or (ny, nx)
+        when src was 1-D). ``tag`` marks parts for special treatment by
+        the packed apply (e.g. "rot_u"/"rot_v" wind columns rotated
+        in-kernel); ``stream`` = [(var, nlev)] routes the part's columns
+        straight to the output file in streaming mode."""
+        if isinstance(src, list):
+            n = sum(1 if b.ndim == 1 else b.shape[1] for b in src)
+            self.parts.append((n, src, False, sink, tag, stream))
+            return
         squeeze = src.ndim == 1
         mat = src[:, None] if squeeze else src
         self.parts.append((mat.shape[1], mat, squeeze, sink, tag, stream))
@@ -182,13 +189,10 @@ class _ApplyBatch:
             sink([])
             return
         if ndim == 2:
-            src = np.stack([data.fields[s.in_name] for s in specs], axis=1)
             nlevs = [None] * len(specs)
         else:
             nlevs = [data.fields[s.in_name].shape[1] for s in specs]
-            src = np.concatenate([data.fields[s.in_name] for s in specs],
-                                 axis=1)
-        self.add(src, lambda out: sink(
+        self.add([data.fields[s.in_name] for s in specs], lambda out: sink(
             _unstack_specs(out, data, specs, nlevs)),
             stream=[(s.out_name, nl) for s, nl in zip(specs, nlevs)])
 
@@ -209,10 +213,14 @@ class _ApplyBatch:
     def run(self, writer=None, deferred=None):
         if not self.parts:
             return
-        src = [m for _, m, _, _, _, _ in self.parts]
+        src = []
+        for _, m, _, _, _, _ in self.parts:
+            src.extend(m if isinstance(m, list) else [m])
         if not getattr(self.rg, "accepts_blocks", False):
             # gather engines take one host matrix
-            src = np.concatenate(src, axis=1).astype(self.dtype)
+            src = np.concatenate(
+                [b[:, None] if b.ndim == 1 else b for b in src],
+                axis=1).astype(self.dtype)
         if writer is None:
             out = self.rg.apply_np(src, root_only=self.root_only)
             off = 0
@@ -296,8 +304,12 @@ def _run_batches_packed(batches, rgs, weights, np_dtype, root_only,
         except ValueError:
             return False             # e.g. union exceeds the W cap
     # list of per-part column blocks: assembled ON DEVICE (_src_to_device),
-    # never concatenated on host (item 3: ~10 GB saved at production load)
-    src = [m for k in cell_keys for _, m, _, _, _, _ in batches[k].parts]
+    # never concatenated on host (item 3: ~10 GB saved at production load);
+    # stack parts carry per-field block lists — flatten them
+    src = []
+    for k in cell_keys:
+        for _, m, _, _, _, _ in batches[k].parts:
+            src.extend(m if isinstance(m, list) else [m])
     log.info("- packed apply: %s (%d cols, one kernel pass%s%s)",
              "+".join(cell_keys), pk.C_total,
              ", in-apply wind rotation" if rotate_spec else "",

@@ -36,8 +36,8 @@ def _full_result():
         "e2e_production": {
             "ncells": 2600000, "grid": "1801x1061 lambert 3km CONUS",
             "n_cols": 973, "output_gb": 7.44,
-            "t_pipeline_warm_streamed_s": 400.0,
-            "t_pipeline_warm_inmem_s": 500.0,
+            "t_pipeline_streamed_s": 400.0,
+            "t_pipeline_inmem_s": 500.0,
             "peak_host_rss_mb_subprocess": {"streamed": 20000.0,
                                             "in_memory": 30000.0},
             "rss_budget_mb": 24000, "source": "recorded artifact",
