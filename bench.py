@@ -1264,7 +1264,10 @@ def bench_e2e(cache_dir):
     t_stream = time.perf_counter() - t0
     rss_stream = rss_done()
     st = art_s.timings.stages
-    write_block = st.get("write_to_file", 0.0)   # open + finish (blocking)
+    # blocking wait on the writer thread at finish (the schema-creation
+    # open is real write_to_file time but not hideable by overlap)
+    write_block = st.get("stream_finish_wait_s",
+                         st.get("write_to_file", 0.0))
     write_thread = st.get("stream_write_s", 0.0)  # in-thread HDF5 writes
     overlap = (max(0.0, 1.0 - write_block / write_thread)
                if write_thread > 0 else 0.0)
