@@ -25,8 +25,9 @@ def prod(monkeypatch, tmp_path):
 
     importlib.reload(bp)
     yield bp, str(tmp_path)
-    monkeypatch.delenv("PROD_NCELLS")
-    importlib.reload(bp)
+    for k in ("PROD_NCELLS", "PROD_NZ", "PROD_NX", "PROD_NY"):
+        monkeypatch.delenv(k)
+    importlib.reload(bp)          # restore module-level production sizes
 
 
 def test_build_inputs_feed_the_full_pipeline(prod):
