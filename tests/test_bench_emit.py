@@ -68,3 +68,19 @@ def test_compact_line_degrades_gracefully_when_huge():
     line = _compact_summary(r)
     assert len(line) <= 2100
     json.loads(line)
+
+
+def test_emit_results_tail_window_parses_both_ways(tmp_path, monkeypatch,
+                                                   capsys):
+    """The driver's 2000-char stdout tail must parse whether it loads the
+    WHOLE tail (whitespace spacer makes it legal JSON) or only the final
+    line."""
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+    bench.emit_results(_full_result())
+    out = capsys.readouterr().out
+    tail = out[-2000:]
+    assert json.loads(tail)["value"] == 1.23e11
+    assert json.loads(out.strip().splitlines()[-1])["value"] == 1.23e11
